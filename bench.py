@@ -1,0 +1,71 @@
+"""Headline benchmark: texture-stage GAN training throughput (images/sec/chip).
+
+Runs the full fused train step (G fwd + D update + G update, bf16 compute)
+at the reference's default config — 128x128, batch 8 (BASELINE.md) — on
+whatever device JAX_PLATFORMS selects (the real TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the measured reference throughput stored
+in BASELINE_MEASURED.json (the upstream repo publishes no numbers, so the
+baseline is our own measurement of the torch reference; see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _texture_batch
+    from swapnet_tpu.training import TextureSystem
+
+    size, batch = 128, int(os.environ.get("BENCH_BATCH", 8))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+
+    system = TextureSystem(img_size=size, dtype=jnp.bfloat16)
+    batch_d = _texture_batch(batch, size)
+    state = system.init_state(jax.random.key(0), batch_d)
+    step = jax.jit(system.train_step, donate_argnums=0)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step(state, batch_d)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch_d)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = steps * batch / dt
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            measured = json.load(f)
+        ref = measured.get("texture_gan_train_images_per_sec")
+        if ref:
+            vs_baseline = images_per_sec / ref
+
+    print(
+        json.dumps(
+            {
+                "metric": "texture_gan_train_throughput",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

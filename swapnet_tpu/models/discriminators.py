@@ -1,0 +1,96 @@
+"""Discriminators (NHWC Flax) — parity with reference modules/discriminators.py.
+
+  * NLayerDiscriminator — 70x70 PatchGAN (Conv4s2 stack, ndf=64, n_layers=3)
+  * PixelDiscriminator  — 1x1 PatchGAN
+  * define_D            — string factory ("basic" | "n_layers" | "pixel")
+
+Outputs are logit maps (no sigmoid); the GAN loss handles the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from swapnet_tpu.models.layers import Conv, Norm, leaky_relu
+
+
+class NLayerDiscriminator(nn.Module):
+    """PatchGAN discriminator (reference modules/discriminators.py:91-136)."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    norm_type: str = "instance"
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        use_bias = self.norm_type == "instance"
+        kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+        x = x.astype(self.dtype)
+
+        x = Conv(self.ndf, 4, 2, 1, use_bias=True, **kw)(x)
+        x = leaky_relu(x, 0.2)
+
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2 ** n, 8)
+            x = Conv(self.ndf * nf_mult, 4, 2, 1, use_bias=use_bias, **kw)(x)
+            x = Norm(self.norm_type, self.init_gain, self.dtype)(x, train)
+            x = leaky_relu(x, 0.2)
+
+        nf_mult = min(2 ** self.n_layers, 8)
+        x = Conv(self.ndf * nf_mult, 4, 1, 1, use_bias=use_bias, **kw)(x)
+        x = Norm(self.norm_type, self.init_gain, self.dtype)(x, train)
+        x = leaky_relu(x, 0.2)
+
+        return Conv(1, 4, 1, 1, use_bias=True, **kw)(x)
+
+
+class PixelDiscriminator(nn.Module):
+    """1x1 PatchGAN (reference modules/discriminators.py:139-168)."""
+
+    ndf: int = 64
+    norm_type: str = "instance"
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        use_bias = self.norm_type == "instance"
+        kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        x = Conv(self.ndf, 1, 1, 0, use_bias=True, **kw)(x)
+        x = leaky_relu(x, 0.2)
+        x = Conv(self.ndf * 2, 1, 1, 0, use_bias=use_bias, **kw)(x)
+        x = Norm(self.norm_type, self.init_gain, self.dtype)(x, train)
+        x = leaky_relu(x, 0.2)
+        return Conv(1, 1, 1, 0, use_bias=use_bias, **kw)(x)
+
+
+def define_D(
+    netD: str = "basic",
+    ndf: int = 64,
+    n_layers_D: int = 3,
+    norm: str = "instance",
+    init_type: str = "kaiming",
+    init_gain: float = 0.02,
+    dtype: Any = jnp.float32,
+) -> nn.Module:
+    """String factory matching reference define_D (discriminators.py:45-88)."""
+    common = dict(
+        ndf=ndf, norm_type=norm, init_type=init_type, init_gain=init_gain, dtype=dtype
+    )
+    if netD == "basic":
+        return NLayerDiscriminator(n_layers=3, **common)
+    if netD == "n_layers":
+        return NLayerDiscriminator(n_layers=n_layers_D, **common)
+    if netD == "pixel":
+        return PixelDiscriminator(**common)
+    raise NotImplementedError(f"Discriminator model name [{netD}] is not recognized")

@@ -1,0 +1,312 @@
+"""Core NHWC layer library (TPU-native counterparts of modules/layers.py).
+
+Every op here is laid out channels-last so the channel dimension rides the
+TPU lane dimension and XLA can tile convolutions straight onto the MXU.
+Numerics match the reference's torch building blocks
+(reference: modules/layers.py:12-144):
+
+  * Conv2d(k=4, s=2, p=1, bias=False)          -> conv_down
+  * ConvTranspose2d(k=4, s=2, p=1, bias=False) -> conv_up (dilated conv form)
+  * InstanceNorm2d(affine=False)               -> instance_norm
+  * LeakyReLU(0.2) / ReLU / Tanh / Dropout
+
+Parameters are always stored float32; compute dtype is a module field so
+training can run bfloat16 on the MXU while keeping fp32 master weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from swapnet_tpu.models.initializers import make_initializer
+
+Dtype = Any
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm2d(affine=False, track_running_stats=False) on NHWC.
+
+    Statistics are computed in float32 regardless of compute dtype.
+    """
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
+
+
+def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Nearest-neighbour integer upsample via repeat (exact, layout-friendly)."""
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
+
+
+def resize_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Nearest-neighbour resize with torch F.interpolate semantics:
+    src_index = floor(dst_index * in/out).  Shapes are static, so the
+    index maps are compile-time constants (a strided gather XLA folds)."""
+    import numpy as np
+
+    ih, iw = x.shape[1], x.shape[2]
+    if (ih, iw) == (out_h, out_w):
+        return x
+    ridx = np.arange(out_h) * ih // out_h
+    cidx = np.arange(out_w) * iw // out_w
+    return x[:, ridx][:, :, cidx]
+
+
+def reflect_pad(x: jax.Array, pad: int = 1) -> jax.Array:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+class Conv(nn.Module):
+    """2D convolution with torch padding semantics, NHWC/HWIO.
+
+    Matches nn.Conv2d(in, out, kernel_size, stride, padding).
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            make_initializer(self.init_type, self.init_gain),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """Transposed 2D convolution with torch semantics, as a dilated conv.
+
+    Matches nn.ConvTranspose2d(in, out, kernel_size, stride, padding):
+    the input is dilated by ``stride`` and convolved with the spatially
+    flipped kernel under padding ``k - 1 - padding``.  The kernel is stored
+    pre-flipped in HWIO so the forward pass is a single
+    conv_general_dilated; the checkpoint porter performs the flip/transpose
+    once at load time.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            make_initializer(self.init_type, self.init_gain, transposed=True),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Norm(nn.Module):
+    """batch | instance | none normalization (reference modules/__init__.py:53-74).
+
+    BatchNorm uses learnable affine + running stats (torch defaults:
+    momentum 0.1 -> flax momentum 0.9, eps 1e-5, scale ~ N(1, init_gain)).
+    InstanceNorm is parameter-free.
+    """
+
+    norm_type: str = "instance"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        if self.norm_type == "instance":
+            return instance_norm(x)
+        if self.norm_type == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                scale_init=lambda key, shape, dtype=jnp.float32: 1.0
+                + self.init_gain * jax.random.normal(key, shape, dtype),
+                bias_init=nn.initializers.zeros,
+            )(x)
+        if self.norm_type == "none":
+            return x
+        raise NotImplementedError(f"normalization layer [{self.norm_type}] is not found")
+
+
+class UNetDown(nn.Module):
+    """Conv4s2p1(no bias) -> [InstanceNorm] -> LeakyReLU(0.2) -> [Dropout].
+
+    Reference: modules/layers.py:12-24.
+    """
+
+    out_ch: int
+    normalize: bool = True
+    dropout: float = 0.0
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = Conv(
+            self.out_ch, 4, 2, 1, use_bias=False,
+            init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype,
+        )(x)
+        if self.normalize:
+            x = instance_norm(x)
+        x = leaky_relu(x, 0.2)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class UNetUp(nn.Module):
+    """ConvT4s2p1(no bias) -> InstanceNorm -> ReLU -> [Dropout]; cat skip.
+
+    Reference: modules/layers.py:27-44.
+    """
+
+    out_ch: int
+    dropout: float = 0.0
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, skip: Optional[jax.Array] = None, train: bool = True
+    ) -> jax.Array:
+        x = ConvTranspose(
+            self.out_ch, 4, 2, 1, use_bias=False,
+            init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype,
+        )(x)
+        x = instance_norm(x)
+        x = jax.nn.relu(x)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        return x
+
+
+class DualUNetUp(nn.Module):
+    """UNetUp with two skip connections (reference modules/layers.py:47-63)."""
+
+    out_ch: int
+    dropout: float = 0.0
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, skip1: jax.Array, skip2: jax.Array, train: bool = True
+    ) -> jax.Array:
+        x = UNetUp(
+            self.out_ch, self.dropout,
+            init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype,
+        )(x, None, train)
+        return jnp.concatenate([x, skip1, skip2], axis=-1)
+
+
+class ResidualBlock(nn.Module):
+    """(ReflectPad1 -> Conv3 -> IN -> ReLU -> Dropout) x2 + identity.
+
+    Reference: modules/layers.py:126-144.
+    """
+
+    dropout: float = 0.0
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        ch = x.shape[-1]
+        conv_kwargs = dict(
+            kernel_size=3, stride=1, padding=0, use_bias=True,
+            init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype,
+        )
+        y = reflect_pad(x)
+        y = Conv(ch, **conv_kwargs)(y)
+        y = instance_norm(y)
+        y = jax.nn.relu(y)
+        # torch nn.Dropout(0.0) is a no-op but always present in the stack.
+        if self.dropout:
+            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = reflect_pad(y)
+        y = Conv(ch, **conv_kwargs)(y)
+        y = instance_norm(y)
+        return x + y
+
+
+class UpsamplePadConvTanh(nn.Module):
+    """Upsample(2x nearest) -> ZeroPad(l=1,t=1) -> Conv4p1 -> Tanh.
+
+    The reference's final projection head (modules/swapnet_modules.py:85-90).
+    """
+
+    out_ch: int
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = upsample_nearest(x, 2)
+        x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        x = Conv(
+            self.out_ch, 4, 1, 1, use_bias=True,
+            init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype,
+        )(x)
+        return jnp.tanh(x)

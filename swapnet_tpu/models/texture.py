@@ -1,0 +1,83 @@
+"""TextureModule — stage-2 texture renderer (NHWC, Flax).
+
+Renders a photorealistic image from a (warped) cloth segmentation plus
+ROI-pooled texture features.  Parity with reference
+modules/swapnet_modules.py:154-260:
+
+  1. ROI-Align 12 body ROIs from the input texture to (128,128)
+     — here a batched MXU matmul op (swapnet_tpu.ops.roi_align) instead of
+     torchvision's CUDA kernel; the (B*R, 5) reshape_rois dance
+     (reference :209-229) disappears because batch stays an explicit axis.
+  2. Regroup pooled ROIs into channels: (B,R,h,w,C) -> (B,h,w,R*C)
+     (roi-major then RGB, matching the reference's view()).
+  3. UNetDown(36 -> 36) encode, nearest-upsample back to input H x W.
+  4. Concat cloth segmentation (36 + 19 = 55 channels).
+  5. pix2pix UnetGenerator with num_downs = log2(img_size) -> RGB.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from swapnet_tpu.models.layers import UNetDown, resize_nearest
+from swapnet_tpu.models.unet import UnetGenerator
+from swapnet_tpu.ops import roi_align
+
+
+class TextureModule(nn.Module):
+    texture_channels: int = 3
+    cloth_channels: int = 19
+    num_roi: int = 12
+    norm_type: str = "batch"
+    dropout: float = 0.5
+    img_size: int = 128
+    roi_size: int = 128
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_tex: jax.Array,  # (B, H, W, texture_channels)
+        rois: jax.Array,  # (B, num_roi, 4) [x1, y1, x2, y2]
+        cloth: jax.Array,  # (B, H, W, cloth_channels)
+        train: bool = True,
+    ) -> jax.Array:
+        B, H, W, C = input_tex.shape
+        kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+
+        pooled = roi_align(
+            input_tex,
+            rois,
+            output_size=(self.roi_size, self.roi_size),
+            spatial_scale=1.0,
+            sampling_ratio=1,
+            dtype=self.dtype,
+        )  # (B, R, roi, roi, C)
+        # channels <- (roi index, then color), matching the reference's
+        # (B*R, C, h, w).view(B, R*C, h, w)
+        pooled = jnp.transpose(pooled, (0, 2, 3, 1, 4)).reshape(
+            B, self.roi_size, self.roi_size, self.num_roi * C
+        )
+
+        encoded = UNetDown(self.num_roi * C, **kw)(pooled, train)
+        upsampled = resize_nearest(encoded, H, W)
+
+        tex_with_cloth = jnp.concatenate(
+            [upsampled, cloth.astype(upsampled.dtype)], axis=-1
+        )
+
+        # fast int log2 of img_size (reference uses math.frexp)
+        num_downs = self.img_size.bit_length() - 1
+        return UnetGenerator(
+            output_nc=self.texture_channels,
+            num_downs=num_downs,
+            norm_type=self.norm_type,
+            use_dropout=self.dropout is not None and self.dropout > 0,
+            **kw,
+        )(tex_with_cloth, train)

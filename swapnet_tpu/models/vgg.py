@@ -1,0 +1,77 @@
+"""VGG16 feature extractor (NHWC Flax) for the perceptual loss.
+
+Mirrors torchvision vgg16().features — 13 3x3 convs + 5 maxpools — sliced
+into the reference's 5 feature taps (reference modules/losses/perceptual.py:
+26-42): after relu1_2, relu2_2, relu3_3, relu4_3, relu5_3.
+
+Pretrained torchvision weights cannot be downloaded in this environment
+(zero egress); `load_torch_vgg16_features` ports a locally provided
+``vgg16-*.pth`` state dict, and without one the extractor runs with fixed
+random weights (a valid — if weaker — perceptual metric; see e.g. "On
+Random Weights and Unsupervised Feature Learning").  The weights are
+frozen either way: they live outside the trained param tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torchvision vgg16 conv output channels per block
+_CFG = [(2, 64), (2, 128), (3, 256), (3, 512), (3, 512)]
+
+
+class VGG16Features(nn.Module):
+    """Returns the 5 tap activations (one per conv block, pre-pool)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> List[jax.Array]:
+        taps = []
+        h = x.astype(self.dtype)
+        for b, (n_convs, ch) in enumerate(_CFG):
+            if b > 0:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            for c in range(n_convs):
+                h = nn.Conv(
+                    ch, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"conv{b + 1}_{c + 1}",
+                )(h)
+                h = jax.nn.relu(h)
+            taps.append(h)
+        return taps
+
+
+def init_vgg16(rng: jax.Array, image_size: int = 128):
+    mod = VGG16Features()
+    variables = mod.init(rng, jnp.zeros((1, image_size, image_size, 3)))
+    return mod, variables
+
+
+def load_torch_vgg16_features(path: str):
+    """Port a torchvision vgg16 state_dict (.pth) to Flax params.
+
+    torchvision keys: features.{idx}.weight/.bias with conv idxs
+    [0,2, 5,7, 10,12,14, 17,19,21, 24,26,28]; weights are OIHW.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    conv_idxs = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    params = {}
+    i = 0
+    for b, (n_convs, _) in enumerate(_CFG):
+        for c in range(n_convs):
+            w = sd[f"features.{conv_idxs[i]}.weight"].numpy()
+            bias = sd[f"features.{conv_idxs[i]}.bias"].numpy()
+            params[f"conv{b + 1}_{c + 1}"] = {
+                "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                "bias": jnp.asarray(bias),
+            }
+            i += 1
+    return {"params": params}

@@ -1,0 +1,110 @@
+"""Optimizer factory (optax) — AdamW and AdaBound.
+
+Mirrors the reference factory (reference: optimizers/__init__.py:37-60):
+per-net lr / weight decay with betas shared, selected by name.  AdaBound
+is not in optax, so it's implemented here as a gradient transformation
+(Luo et al. 2019: Adam with the effective per-parameter step size clipped
+into a band that converges to ``final_lr``, blending into SGD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    name: str = "AdamW"  # AdamW | AdaBound
+    lr: float = 1e-4
+    b1: float = 0.9
+    b2: float = 0.999
+    weight_decay: float = 0.0
+    final_lr: float = 0.1  # AdaBound only
+    gamma: float = 1e-3  # AdaBound bound convergence speed
+
+
+class AdaBoundState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def adabound(
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    final_lr: float = 0.1,
+    gamma: float = 1e-3,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    def init_fn(params):
+        return AdaBoundState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        t = count.astype(jnp.float32)
+        bc1 = 1 - b1 ** t
+        bc2 = 1 - b2 ** t
+        step_size = lr * jnp.sqrt(bc2) / bc1
+        lower = final_lr * (1 - 1 / (gamma * t + 1))
+        upper = final_lr * (1 + 1 / (gamma * t))
+
+        def scaled(m, v):
+            denom = jnp.sqrt(v) + eps
+            step = jnp.clip(step_size / denom, lower, upper)
+            return -step * m
+
+        new_updates = jax.tree.map(scaled, mu, nu)
+        if weight_decay:
+            assert params is not None
+            new_updates = jax.tree.map(
+                lambda u, p: u - lr * weight_decay * p, new_updates, params
+            )
+        return new_updates, AdaBoundState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def define_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    name = cfg.name.lower()
+    if "adam" in name:
+        return optax.adamw(
+            cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=1e-8, weight_decay=cfg.weight_decay
+        )
+    if "adabound" in name:
+        return adabound(
+            cfg.lr, b1=cfg.b1, b2=cfg.b2,
+            final_lr=cfg.final_lr, gamma=cfg.gamma, weight_decay=cfg.weight_decay,
+        )
+    raise NotImplementedError(cfg.name)
+
+
+def from_options(opt, net: str) -> OptimizerConfig:
+    """Build an OptimizerConfig from a reference-style options namespace."""
+    if net not in ("G", "D"):
+        raise ValueError(f"net arg must be 'D' or 'G', received {net}")
+    if net == "D":
+        lr, wd = opt.d_lr, opt.d_weight_decay
+    else:
+        lr, wd = opt.lr, opt.weight_decay
+    return OptimizerConfig(
+        name=getattr(opt, f"optimizer_{net}"),
+        lr=lr,
+        b1=getattr(opt, "b1", 0.9),
+        b2=getattr(opt, "b2", 0.999),
+        weight_decay=wd,
+        final_lr=getattr(opt, "final_lr", 0.1),
+    )

@@ -1,0 +1,156 @@
+"""TextureSystem — stage-2 training system (reference models/texture_model.py).
+
+Generator: TextureModule (ROI pooling + pix2pix U-Net) or plain unet_128.
+Discriminator conditioned on the cloth segmentation: cat(cloths, fakes)
+(reference texture_model.py:127-155).
+
+G loss = GAN + L1 * lambda_l1 + VGG content * lambda_content
+       + style * lambda_style  (reference texture_model.py:157-180).
+
+Divergence note: the reference computes the texture-stage gradient penalty
+on *unconditioned* (targets, fakes) (texture_model.py:148-153), which would
+crash its own conditional D on a channel mismatch — i.e. texture+GP is
+unusable upstream.  Here GP uses the conditioned pairs, consistent with
+the warp stage.
+
+Batch dict (names match the reference dataset contract):
+  input_textures (B, H, W, 3)   normalized input RGB (randomly flipped)
+  rois           (B, 12, 4)     [x1, y1, x2, y2] per body part
+  cloths         (B, H, W, 19)  one-hot cloth seg
+  target_textures(B, H, W, 3)   normalized target RGB
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from swapnet_tpu.losses import (
+    GANLossConfig,
+    PerceptualLossConfig,
+    perceptual_loss,
+)
+from swapnet_tpu.models.discriminators import define_D
+from swapnet_tpu.models.texture import TextureModule
+from swapnet_tpu.models.unet import UnetGenerator
+from swapnet_tpu.models.vgg import VGG16Features
+from swapnet_tpu.training.base_gan_system import BaseGANSystem
+from swapnet_tpu.training.optimizers import OptimizerConfig
+
+
+class TextureSystem(BaseGANSystem):
+    def __init__(
+        self,
+        texture_channels: int = 3,
+        cloth_channels: int = 19,
+        num_roi: int = 12,
+        img_size: int = 128,
+        netG: str = "swapnet",  # swapnet | unet_128
+        norm: str = "instance",
+        lambda_l1: float = 10.0,
+        lambda_content: float = 20.0,
+        lambda_style: float = 1e-8,
+        vgg_variables=None,  # ported VGG16 weights; random-init if None
+        discriminator: str = "basic",
+        n_layers_D: int = 3,
+        init_type: str = "kaiming",
+        init_gain: float = 0.02,
+        dtype: Any = jnp.float32,
+        gan_cfg: GANLossConfig = GANLossConfig(),
+        g_opt: OptimizerConfig = OptimizerConfig(lr=1e-4),
+        d_opt: OptimizerConfig = OptimizerConfig(lr=4e-4, weight_decay=0.01),
+        lambda_gan: float = 1.0,
+        lambda_discriminator: float = 1.0,
+        lambda_gp: float = 10.0,
+        is_train: bool = True,
+    ):
+        if netG == "swapnet":
+            generator = TextureModule(
+                texture_channels=texture_channels,
+                cloth_channels=cloth_channels,
+                num_roi=num_roi,
+                img_size=img_size,
+                norm_type=norm,
+                init_type=init_type,
+                init_gain=init_gain,
+                dtype=dtype,
+            )
+        elif netG == "unet_128":
+            generator = UnetGenerator(
+                output_nc=texture_channels, num_downs=7, norm_type="batch",
+                use_dropout=True, init_type=init_type, init_gain=init_gain,
+                dtype=dtype,
+            )
+        else:
+            raise ValueError(f"Cannot find implementation for {netG}")
+
+        D = None
+        if is_train:
+            D = define_D(
+                discriminator, 64, n_layers_D, norm, init_type, init_gain, dtype
+            )
+        super().__init__(
+            generator, D, gan_cfg, g_opt, d_opt,
+            lambda_gan, lambda_discriminator, lambda_gp,
+        )
+        self.netG = netG
+        self.lambda_l1 = lambda_l1
+        self.lambda_content = lambda_content
+        self.lambda_style = lambda_style
+        self.use_perceptual = is_train and (lambda_content != 0 or lambda_style != 0)
+        if self.use_perceptual:
+            self.vgg = VGG16Features(dtype=dtype)
+            if vgg_variables is None:
+                vgg_variables = self.vgg.init(
+                    jax.random.key(7), jnp.zeros((1, img_size, img_size, 3))
+                )
+            # frozen: closed over as a constant, outside the trained pytree
+            self.vgg_variables = vgg_variables
+        self.perc_cfg = PerceptualLossConfig(use_style=lambda_style != 0)
+
+    # ---- hooks -----------------------------------------------------------
+
+    def _g_args(self, batch):
+        if self.netG == "swapnet":
+            return (batch["input_textures"], batch["rois"], batch["cloths"])
+        return (batch["input_textures"],)
+
+    def init_generator(self, rngs, batch):
+        return dict(self.G.init(rngs, *self._g_args(batch), True))
+
+    def generator_forward(self, g_params, g_extra, batch, rng, train):
+        variables = {"params": g_params, **(g_extra or {})}
+        mutable = list(g_extra.keys()) if g_extra else []
+        if mutable:
+            fakes, new_extra = self.G.apply(
+                variables, *self._g_args(batch), train,
+                rngs={"dropout": rng}, mutable=mutable,
+            )
+            return fakes, dict(new_extra)
+        fakes = self.G.apply(
+            variables, *self._g_args(batch), train, rngs={"dropout": rng}
+        )
+        return fakes, {}
+
+    def d_condition(self, batch, img):
+        return jnp.concatenate([batch["cloths"].astype(img.dtype), img], axis=-1)
+
+    def targets(self, batch):
+        return batch["target_textures"]
+
+    def extra_g_losses(self, fakes, batch, rng) -> Dict[str, jax.Array]:
+        targets = batch["target_textures"]
+        out = {}
+        if self.lambda_l1:
+            l1 = jnp.mean(jnp.abs(fakes.astype(jnp.float32) - targets.astype(jnp.float32)))
+            out["loss_G_l1"] = l1 * self.lambda_l1
+        if self.use_perceptual:
+            vgg_apply = lambda x: self.vgg.apply(self.vgg_variables, x)
+            content, style = perceptual_loss(vgg_apply, fakes, targets, self.perc_cfg)
+            if self.lambda_content:
+                out["loss_G_content"] = content * self.lambda_content
+            if self.lambda_style:
+                out["loss_G_style"] = style * self.lambda_style
+        return out

@@ -1,0 +1,213 @@
+"""Numerical parity of core NHWC primitives against torch (CPU).
+
+torchvision isn't available in this image, but torch-cpu is, so each
+primitive is checked against a hand-built torch counterpart mirroring
+the reference layer stack (reference: modules/layers.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from swapnet_tpu.models.layers import (
+    Conv,
+    ConvTranspose,
+    ResidualBlock,
+    UNetDown,
+    UNetUp,
+    instance_norm,
+    leaky_relu,
+    upsample_nearest,
+)
+from swapnet_tpu.models.warp import WarpModule
+
+
+def to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_conv_matches_torch(rng):
+    x = rng.randn(2, 16, 16, 5).astype(np.float32)
+    w = rng.randn(4, 4, 5, 7).astype(np.float32)  # HWIO
+
+    mod = Conv(7, 4, 2, 1, use_bias=False)
+    y = mod.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
+
+    tw = torch.from_numpy(np.transpose(w, (3, 2, 0, 1)))  # OIHW
+    ty = torch.nn.functional.conv2d(
+        torch.from_numpy(to_nchw(x)), tw, stride=2, padding=1
+    )
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(ty.numpy()), atol=1e-4)
+
+
+def test_conv_transpose_matches_torch(rng):
+    x = rng.randn(2, 8, 8, 5).astype(np.float32)
+    # torch ConvTranspose2d weight: (I, O, kh, kw)
+    tw = rng.randn(5, 6, 4, 4).astype(np.float32)
+
+    ty = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(to_nchw(x)), torch.from_numpy(tw), stride=2, padding=1
+    )
+
+    # our kernel is the pre-flipped equivalent dilated-conv kernel HWIO:
+    # kernel[kh, kw, i, o] = tw[i, o, K-1-kh, K-1-kw]
+    w = np.transpose(tw[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+    mod = ConvTranspose(6, 4, 2, 1, use_bias=False)
+    y = mod.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
+
+    assert y.shape == (2, 16, 16, 6)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(ty.numpy()), atol=1e-4)
+
+
+def test_instance_norm_matches_torch(rng):
+    x = rng.randn(2, 9, 9, 4).astype(np.float32)
+    y = instance_norm(jnp.asarray(x))
+    ty = tnn.InstanceNorm2d(4, affine=False)(torch.from_numpy(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(ty.numpy()), atol=1e-5)
+
+
+def test_leaky_relu_matches_torch(rng):
+    x = rng.randn(64).astype(np.float32)
+    y = leaky_relu(jnp.asarray(x), 0.2)
+    ty = torch.nn.functional.leaky_relu(torch.from_numpy(x), 0.2)
+    np.testing.assert_allclose(np.asarray(y), ty.numpy(), atol=1e-7)
+
+
+def test_upsample_nearest_matches_torch(rng):
+    x = rng.randn(1, 5, 5, 3).astype(np.float32)
+    y = upsample_nearest(jnp.asarray(x), 2)
+    ty = torch.nn.functional.interpolate(torch.from_numpy(to_nchw(x)), scale_factor=2)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(ty.numpy()), atol=1e-7)
+
+
+def _torch_unet_down(in_ch, out_ch, normalize=True, dropout=0.0):
+    layers = [tnn.Conv2d(in_ch, out_ch, 4, 2, 1, bias=False)]
+    if normalize:
+        layers.append(tnn.InstanceNorm2d(out_ch))
+    layers.append(tnn.LeakyReLU(0.2))
+    return tnn.Sequential(*layers)
+
+
+def test_unet_down_matches_torch(rng):
+    x = rng.randn(2, 16, 16, 3).astype(np.float32)
+    tmod = _torch_unet_down(3, 8)
+    w = tmod[0].weight.detach().numpy()  # OIHW
+    kernel = np.transpose(w, (2, 3, 1, 0))  # HWIO
+
+    y = UNetDown(8).apply(
+        {"params": {"Conv_0": {"kernel": jnp.asarray(kernel)}}},
+        jnp.asarray(x),
+        False,
+    )
+    with torch.no_grad():
+        ty = tmod(torch.from_numpy(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(ty.numpy()), atol=1e-4)
+
+
+def test_unet_up_matches_torch(rng):
+    x = rng.randn(2, 8, 8, 6).astype(np.float32)
+    skip = rng.randn(2, 16, 16, 4).astype(np.float32)
+
+    tconv = tnn.ConvTranspose2d(6, 8, 4, 2, 1, bias=False)
+    tw = tconv.weight.detach().numpy()  # (I, O, kh, kw)
+    kernel = np.transpose(tw[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+
+    y = UNetUp(8).apply(
+        {"params": {"ConvTranspose_0": {"kernel": jnp.asarray(kernel)}}},
+        jnp.asarray(x),
+        jnp.asarray(skip),
+        False,
+    )
+    with torch.no_grad():
+        t = tconv(torch.from_numpy(to_nchw(x)))
+        t = tnn.InstanceNorm2d(8)(t)
+        t = torch.relu(t)
+        t = torch.cat([t, torch.from_numpy(to_nchw(skip))], dim=1)
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(t.numpy()), atol=1e-4)
+
+
+def test_residual_block_matches_torch(rng):
+    x = rng.randn(1, 8, 8, 6).astype(np.float32)
+    c1 = tnn.Conv2d(6, 6, 3)
+    c2 = tnn.Conv2d(6, 6, 3)
+
+    params = {
+        "Conv_0": {
+            "kernel": jnp.asarray(np.transpose(c1.weight.detach().numpy(), (2, 3, 1, 0))),
+            "bias": jnp.asarray(c1.bias.detach().numpy()),
+        },
+        "Conv_1": {
+            "kernel": jnp.asarray(np.transpose(c2.weight.detach().numpy(), (2, 3, 1, 0))),
+            "bias": jnp.asarray(c2.bias.detach().numpy()),
+        },
+    }
+    y = ResidualBlock(dropout=0.0).apply({"params": params}, jnp.asarray(x), False)
+
+    with torch.no_grad():
+        tx = torch.from_numpy(to_nchw(x))
+        t = tnn.ReflectionPad2d(1)(tx)
+        t = c1(t)
+        t = tnn.InstanceNorm2d(6)(t)
+        t = torch.relu(t)
+        t = tnn.ReflectionPad2d(1)(t)
+        t = c2(t)
+        t = tnn.InstanceNorm2d(6)(t)
+        t = tx + t
+    np.testing.assert_allclose(np.asarray(y), to_nhwc(t.numpy()), atol=1e-4)
+
+
+def test_warp_module_shapes():
+    mod = WarpModule(body_channels=3, cloth_channels=19)
+    body = jnp.zeros((2, 128, 128, 3))
+    cloth = jnp.zeros((2, 128, 128, 19))
+    variables = mod.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, body, cloth
+    )
+    out = mod.apply(variables, body, cloth, False)
+    assert out.shape == (2, 128, 128, 19)
+    # tanh output range
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+
+
+def test_warp_module_param_count():
+    """Parameter count must match the torch reference architecture exactly."""
+    mod = WarpModule(body_channels=3, cloth_channels=19)
+    body = jnp.zeros((1, 128, 128, 3))
+    cloth = jnp.zeros((1, 128, 128, 19))
+    variables = mod.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, body, cloth
+    )
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+    # torch reference count, computed analytically:
+    def conv(i, o, k, bias=False):
+        return i * o * k * k + (o if bias else 0)
+
+    expected = (
+        # body downs
+        conv(3, 64, 4) + conv(64, 128, 4) + conv(128, 256, 4) + conv(256, 512, 4)
+        # cloth downs
+        + conv(19, 64, 4) + conv(64, 128, 4) + conv(128, 256, 4)
+        + conv(256, 512, 4) + conv(512, 1024, 4) + conv(1024, 1024, 4)
+        # cloth ups
+        + conv(1024, 1024, 4) + conv(1024, 512, 4)
+        # 4 resblocks: two 3x3 convs with bias each, 1024ch
+        + 4 * 2 * conv(1024, 1024, 3, bias=True)
+        # dual ups
+        + conv(1024, 256, 4) + conv(3 * 256, 128, 4) + conv(3 * 128, 64, 4)
+        # final conv with bias
+        + conv(3 * 64, 19, 4, bias=True)
+    )
+    assert n == expected

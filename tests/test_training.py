@@ -1,0 +1,148 @@
+"""End-to-end training-step tests: warp (ce/gan) and texture systems,
+including data-parallel execution over the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swapnet_tpu.losses import GANLossConfig
+from swapnet_tpu.parallel import batch_sharding, create_mesh, replicated_sharding, shard_batch
+from swapnet_tpu.training import TextureSystem, WarpSystem
+from swapnet_tpu.training.optimizers import OptimizerConfig
+
+SIZE = 32  # small images for test speed (architectures are fully conv)
+
+
+def warp_batch(b=2, size=SIZE, seed=0):
+    r = np.random.RandomState(seed)
+    onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (b, size, size))]
+    return {
+        "bodys": jnp.asarray(r.randn(b, size, size, 3).astype(np.float32)),
+        "input_cloths": jnp.asarray(onehot),
+        "target_cloths": jnp.asarray(onehot),
+    }
+
+
+def texture_batch(b=2, size=SIZE, seed=0):
+    r = np.random.RandomState(seed)
+    rois = r.uniform(2, size - 2, (b, 12, 4)).astype(np.float32)
+    rois[..., 2:] = np.minimum(rois[..., :2] + 8, size - 1)
+    onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (b, size, size))]
+    return {
+        "input_textures": jnp.asarray(r.randn(b, size, size, 3).astype(np.float32)),
+        "rois": jnp.asarray(rois),
+        "cloths": jnp.asarray(onehot),
+        "target_textures": jnp.asarray(r.randn(b, size, size, 3).astype(np.float32)),
+    }
+
+
+def _loss_decreases(system, batch, key, n=4):
+    state = system.init_state(jax.random.key(0), batch)
+    step = jax.jit(system.train_step, donate_argnums=0)
+    losses = []
+    for _ in range(n):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics[key]))
+    assert all(np.isfinite(losses)), losses
+    return losses, state
+
+
+def test_warp_ce_mode_trains():
+    """Minimum end-to-end slice: warp in --warp_mode ce (no discriminator)."""
+    sys_ = WarpSystem(warp_mode="ce", g_opt=OptimizerConfig(lr=1e-3))
+    losses, state = _loss_decreases(sys_, warp_batch(), "loss_G", n=5)
+    assert losses[-1] < losses[0], losses
+    assert state.d_params is None
+    assert int(state.step) == 5
+
+
+def test_warp_gan_mode_trains():
+    sys_ = WarpSystem(warp_mode="gan")
+    batch = warp_batch()
+    state = sys_.init_state(jax.random.key(0), batch)
+    step = jax.jit(sys_.train_step, donate_argnums=0)
+    state, m = step(state, batch)
+    for k in ("loss_D", "loss_D_real", "loss_D_fake", "loss_G", "loss_G_gan", "loss_G_ce"):
+        assert k in m, f"missing metric {k}"
+        assert np.isfinite(float(m[k])), (k, m[k])
+
+
+def test_warp_gan_with_gradient_penalty():
+    sys_ = WarpSystem(warp_mode="gan", gan_cfg=GANLossConfig(gan_mode="dragan-gp"))
+    batch = warp_batch()
+    state = sys_.init_state(jax.random.key(0), batch)
+    state, m = jax.jit(sys_.train_step)(state, batch)
+    assert "loss_D_gp" in m
+    assert np.isfinite(float(m["loss_D_gp"]))
+
+
+def test_warp_wgan_clamps_weights():
+    sys_ = WarpSystem(warp_mode="gan", gan_cfg=GANLossConfig(gan_mode="wgan", smooth_labels=False))
+    batch = warp_batch()
+    state = sys_.init_state(jax.random.key(0), batch)
+    # blow up a weight; the step must clamp before the D update
+    state = state.replace(
+        d_params=jax.tree.map(lambda p: p + 5.0, state.d_params)
+    )
+    state, _ = jax.jit(sys_.train_step)(state, batch)
+    max_w = max(float(jnp.max(jnp.abs(p))) for p in jax.tree.leaves(state.d_params))
+    # clamped to 0.01 cube, then one optimizer step of movement
+    assert max_w < 0.1, max_w
+
+
+def test_texture_gan_trains():
+    sys_ = TextureSystem(img_size=SIZE)
+    batch = texture_batch()
+    state = sys_.init_state(jax.random.key(0), batch)
+    step = jax.jit(sys_.train_step, donate_argnums=0)
+    state, m = step(state, batch)
+    for k in ("loss_D", "loss_G", "loss_G_gan", "loss_G_l1", "loss_G_content", "loss_G_style"):
+        assert k in m, f"missing metric {k}"
+        assert np.isfinite(float(m[k])), (k, float(m[k]))
+    fakes = sys_.eval_step(state, batch)
+    assert fakes.shape == batch["target_textures"].shape
+
+
+def test_texture_unet128_variant():
+    """--netG unet_128 uses batch norm -> exercises mutable batch_stats."""
+    sys_ = TextureSystem(img_size=128, netG="unet_128", lambda_content=0, lambda_style=0)
+    batch = texture_batch(b=2, size=128)
+    state = sys_.init_state(jax.random.key(0), batch)
+    assert "batch_stats" in state.g_extra
+    before = jax.tree.leaves(state.g_extra["batch_stats"])[0].copy()
+    state, m = jax.jit(sys_.train_step)(state, batch)
+    after = jax.tree.leaves(state.g_extra["batch_stats"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after)), "running stats must update"
+    assert np.isfinite(float(m["loss_G"]))
+
+
+def test_warp_ce_data_parallel_8dev():
+    """DP over the 8-device mesh: batch sharded, params replicated."""
+    mesh = create_mesh(space=1)
+    sys_ = WarpSystem(warp_mode="ce")
+    batch = warp_batch(b=8)
+    state = sys_.init_state(jax.random.key(0), batch)
+
+    state = jax.device_put(state, replicated_sharding(mesh))
+    sharded = shard_batch(batch, mesh)
+    assert sharded["bodys"].sharding.spec == batch_sharding(mesh).spec
+
+    step = jax.jit(
+        sys_.train_step,
+        in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+        donate_argnums=0,
+    )
+    state, m = step(state, sharded)
+    assert np.isfinite(float(m["loss_G"]))
+
+    # gradient all-reduce check: DP result == single-device result
+    sys2 = WarpSystem(warp_mode="ce")
+    state2 = sys2.init_state(jax.random.key(0), batch)
+    state2, m2 = jax.jit(sys2.train_step)(state2, batch)
+    np.testing.assert_allclose(float(m["loss_G"]), float(m2["loss_G"]), rtol=1e-4)
+    # reduction-order noise on near-zero grads can flip Adam's sign, moving
+    # a param by up to 2*lr = 2e-4; anything beyond that is a real bug.
+    p1 = jax.tree.leaves(state.g_params)[0]
+    p2 = jax.tree.leaves(state2.g_params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=3e-4)
