@@ -1,0 +1,98 @@
+"""Additional reconstruction losses (reference modules/losses/__init__.py
+and modules/loss.py legacy components): Charbonnier L1, SSIM, and a
+multi-layer feature loss over arbitrary extractors.
+
+All pure functions; SSIM's gaussian window is a compile-time constant so
+the whole loss fuses under jit (the reference's kornia-derived SSIM builds
+torch windows at call time).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_charbonnier(x: jax.Array, y: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Charbonnier penalty sqrt(diff^2 + eps^2) (reference losses/__init__.py:14-31).
+
+    NOTE the reference adds eps (1e-6) inside the sqrt un-squared; we keep
+    that behavior for parity.
+    """
+    diff = x.astype(jnp.float32) - y.astype(jnp.float32)
+    return jnp.mean(jnp.sqrt(diff * diff + eps))
+
+
+def _gaussian_window(size: int, sigma: float) -> np.ndarray:
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma ** 2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def ssim(
+    x: jax.Array,  # (B, H, W, C) in [0, max_val]
+    y: jax.Array,
+    window_size: int = 11,
+    max_val: float = 1.0,
+    sigma: float = 1.5,
+) -> jax.Array:
+    """Mean SSIM map (reference losses/__init__.py:34-274, kornia-derived).
+
+    Depthwise gaussian filtering via one grouped conv per input — maps to
+    the MXU as C independent small convs.
+    """
+    B, H, W, C = x.shape
+    win = jnp.asarray(_gaussian_window(window_size, sigma)).reshape(
+        window_size, window_size, 1, 1
+    )
+    win = jnp.tile(win, (1, 1, 1, C))
+    pad = window_size // 2
+
+    def filt(t):
+        return jax.lax.conv_general_dilated(
+            t.astype(jnp.float32), win,
+            window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    mu_x, mu_y = filt(x), filt(y)
+    mu_x2, mu_y2, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_x = filt(x * x) - mu_x2
+    sigma_y = filt(y * y) - mu_y2
+    sigma_xy = filt(x * y) - mu_xy
+
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
+    den = (mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)
+    return jnp.mean(num / den)
+
+
+def ssim_loss(x, y, **kw) -> jax.Array:
+    return 1.0 - ssim(x, y, **kw)
+
+
+def multi_layer_feature_loss(
+    features_apply: Callable[[jax.Array], List[jax.Array]],
+    generated: jax.Array,
+    actual: jax.Array,
+    num_layers: int = 3,
+    loss_fn=lambda a, b: jnp.mean(jnp.abs(a - b)),
+) -> jax.Array:
+    """Weighted L1 over the last ``num_layers`` taps of a feature extractor
+    (reference MultiLayerFeatureLoss, modules/loss.py:234-284; its layer
+    weights are i + 1/num_layers for i in range(num_layers))."""
+    gen_feats = features_apply(generated)[-num_layers:]
+    act_feats = [jax.lax.stop_gradient(f) for f in features_apply(actual)[-num_layers:]]
+    weights = [i + 1.0 / num_layers for i in range(num_layers)]
+    total = jnp.float32(0.0)
+    for w, g, a in zip(weights, gen_feats, act_feats):
+        total += w * loss_fn(g.astype(jnp.float32), a.astype(jnp.float32))
+    return total

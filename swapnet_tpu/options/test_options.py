@@ -65,5 +65,8 @@ class TestOptions(BaseOptions):
                 raise ValueError("Warp stage must have body_dir")
             if opt.texture_checkpoint and not opt.texture_dir:
                 raise ValueError("Texture stage must have texture_dir")
-        if not opt.warp_checkpoint and not opt.texture_checkpoint:
+        # NOTE: the reference's TestOptions._validate is never invoked (its
+        # parse() hard-calls BaseOptions._validate); ours runs, so accept the
+        # --checkpoint shorthand that inference expands later.
+        if not opt.warp_checkpoint and not opt.texture_checkpoint and not opt.checkpoint:
             raise ValueError("Must set either warp_checkpoint or texture_checkpoint")

@@ -1,0 +1,124 @@
+"""Training driver — the reference train.py loop, TPU-native.
+
+Differences from the reference loop (train.py:31-119):
+  * the whole optimization step is ONE jitted program with donated state;
+    metrics stay on device and are only fetched at print_freq boundaries
+    so the step pipeline never stalls,
+  * batches are device_put batch-sharded over the ("data",) mesh axis
+    before the jitted preprocessor (one-hot, normalize, augment) runs
+    on-device,
+  * checkpoint cadence and filenames match the reference
+    (latest_checkpoint_freq iters / checkpoint_freq epochs ->
+    {label}_net_{...}; models/base_model.py:149-173, train.py:93-116).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from swapnet_tpu.parallel import batch_sharding, create_mesh, replicated_sharding
+from swapnet_tpu.training.registry import (
+    compute_visuals,
+    create_dataset,
+    create_preprocessor,
+    create_system,
+)
+from swapnet_tpu.utils import checkpoint as ckpt
+from swapnet_tpu.utils.visualizer import Visualizer
+
+
+def _array_part(batch):
+    return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+
+def train(opt):
+    dataset, loader = create_dataset(opt)
+    print(f"The number of training images = {len(loader):d}")
+
+    system = create_system(opt)
+    preprocess = create_preprocessor(opt, dataset)
+    visualizer = Visualizer(opt)
+    ckpt_dir = os.path.join(opt.checkpoints_dir, opt.name)
+
+    n_dp = opt.data_parallel or len(jax.devices())
+    n_dp = min(n_dp, len(jax.devices()))
+    while opt.batch_size % n_dp:
+        n_dp -= 1
+    mesh = create_mesh(jax.devices()[:n_dp])
+    repl = replicated_sharding(mesh)
+    data_sh = batch_sharding(mesh)
+
+    rng = jax.random.key(getattr(opt, "seed", 0))
+
+    # init from the first batch's shapes
+    first = next(iter(loader))
+    first_arrays = {
+        k: jax.device_put(v, data_sh) for k, v in _array_part(first).items()
+    }
+    rng, r_pre, r_init = jax.random.split(rng, 3)
+    model_batch = preprocess(r_pre, first_arrays)
+    state = system.init_state(r_init, model_batch)
+    state = jax.device_put(state, repl)
+
+    for net, count in system.param_counts(state).items():
+        print(f"[Network {net}] Total number of parameters : {count / 1e6:.3f} M")
+
+    if getattr(opt, "continue_train", False):
+        state = ckpt.load_checkpoint(state, ckpt_dir, opt.load_epoch)
+        print(f"loaded checkpoint '{opt.load_epoch}' from {ckpt_dir} (step {int(state.step)})")
+
+    step_fn = jax.jit(system.train_step, donate_argnums=0)
+
+    total_iters = 0
+    pending = None  # (metrics ref, epoch, epoch_iter, t_comp, t_data)
+    for epoch in range(opt.start_epoch + 1, opt.n_epochs + 1):
+        epoch_iter = 0
+        iter_data_time = time.time()
+        for batch in loader:
+            iter_start_time = time.time()
+            t_data = iter_start_time - iter_data_time
+            visualizer.reset()
+            total_iters += opt.batch_size
+            epoch_iter += opt.batch_size
+
+            arrays = {
+                k: jax.device_put(v, data_sh) for k, v in _array_part(batch).items()
+            }
+            rng, r_pre = jax.random.split(rng)
+            model_batch = preprocess(r_pre, arrays)
+            state, metrics = step_fn(state, model_batch)
+
+            if total_iters % opt.print_freq == 0:
+                # fetch (sync point) only at print boundaries
+                fetched = {k: float(v) for k, v in metrics.items()}
+                t_comp = (time.time() - iter_start_time) / opt.batch_size
+                visualizer.print_current_losses(
+                    epoch, epoch_iter, fetched, t_comp, t_data
+                )
+
+            if total_iters % opt.display_freq == 0:
+                save_result = total_iters % opt.update_html_freq == 0
+                fakes = system.eval_step(state, model_batch)
+                visuals = compute_visuals(opt, jax.device_get(model_batch), np.asarray(fakes))
+                visualizer.display_current_results(visuals, epoch, save_result)
+
+            if (
+                opt.latest_checkpoint_freq
+                and total_iters % opt.latest_checkpoint_freq == 0
+            ):
+                label = f"iter_{total_iters}" if opt.save_by_iter else "latest"
+                print(f"saving the latest model (epoch {epoch}, total_iters {total_iters})")
+                ckpt.save_checkpoint(state, ckpt_dir, label)
+
+            iter_data_time = time.time()
+
+        if opt.checkpoint_freq and epoch % opt.checkpoint_freq == 0:
+            print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
+            ckpt.save_checkpoint(state, ckpt_dir, "latest")
+            ckpt.save_checkpoint(state, ckpt_dir, epoch)
+
+    return state

@@ -1,0 +1,142 @@
+"""End-to-end: synthetic dataroot -> CLI-parsed training (warp + texture)
+-> checkpoints -> two-stage swap inference producing npz intermediates and
+HTML galleries (the reference's full product path, SURVEY.md §3.1/§3.3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy import sparse
+
+from swapnet_tpu.options import TestOptions, TrainOptions
+from swapnet_tpu.training.loop import train
+from swapnet_tpu.inference import main as inference_main
+
+SIZE = 64  # warp needs >= 64 (cloth encoder downsamples 6x)
+N_ITEMS = 4
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    root = tmp_path_factory.mktemp("deep_fashion")
+    r = np.random.RandomState(0)
+    for sub in ("cloth", "body", "texture"):
+        os.makedirs(root / sub)
+
+    rois_rows = []
+    for i in range(N_ITEMS):
+        fid = f"img{i:02d}"
+        labels = r.randint(0, 19, (SIZE, SIZE)).astype(np.uint8)
+        sparse.save_npz(str(root / "cloth" / f"{fid}.npz"), sparse.csc_matrix(labels))
+        Image.fromarray(
+            r.randint(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+        ).save(root / "body" / f"{fid}.png")
+        Image.fromarray(
+            r.randint(0, 255, (SIZE, SIZE, 3), dtype=np.uint8)
+        ).save(root / "texture" / f"{fid}.jpg")
+        for _ in range(12):
+            x1, y1 = r.randint(0, SIZE // 2, 2)
+            rois_rows.append(
+                f"{fid},{x1},{y1},{x1 + r.randint(4, SIZE // 2)},{y1 + r.randint(4, SIZE // 2)}"
+            )
+
+    with open(root / "rois.csv", "w") as f:
+        f.write("id,xmin,ymin,xmax,ymax\n" + "\n".join(rois_rows) + "\n")
+    with open(root / "normalization_stats.json", "w") as f:
+        f.write(json.dumps({"path": "body", "means": [0.5] * 3, "stds": [0.25] * 3}) + "\n")
+        f.write(json.dumps({"path": "texture", "means": [0.5] * 3, "stds": [0.25] * 3}) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def checkpoints(dataroot, tmp_path_factory):
+    ckpts = tmp_path_factory.mktemp("checkpoints")
+    common = [
+        "--dataroot", str(dataroot),
+        "--checkpoints_dir", str(ckpts),
+        "--load_size", str(SIZE), "--crop_size", str(SIZE),
+        "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+        "--latest_checkpoint_freq", "2",
+        "--print_freq", "2", "--display_freq", "2", "--update_html_freq", "2",
+        "--num_workers", "2", "--compute_dtype", "float32",
+    ]
+    warp_opt = TrainOptions().parse(
+        print_options=False,
+        args=["--model", "warp", "--name", "warp", "--warp_mode", "ce"] + common,
+    )
+    train(warp_opt)
+    texture_opt = TrainOptions().parse(
+        print_options=False,
+        args=["--model", "texture", "--name", "texture",
+              "--lambda_content", "0", "--lambda_style", "0"] + common,
+    )
+    train(texture_opt)
+    return ckpts
+
+
+def test_training_writes_reference_layout(checkpoints):
+    warp_dir = checkpoints / "warp"
+    assert (warp_dir / "args.json").exists()
+    assert (warp_dir / "latest_net_generator.msgpack").exists()
+    assert (warp_dir / "1_net_generator.msgpack").exists()
+    assert (warp_dir / "latest_optim_G.msgpack").exists()
+    # ce mode has no discriminator (reference warp_model.py:68-76)
+    assert not (warp_dir / "latest_net_discriminator.msgpack").exists()
+    assert (warp_dir / "loss_log.txt").exists()
+    assert (warp_dir / "web" / "index.html").exists()
+
+    tex_dir = checkpoints / "texture"
+    assert (tex_dir / "latest_net_generator.msgpack").exists()
+    assert (tex_dir / "latest_net_discriminator.msgpack").exists()
+    assert (tex_dir / "latest_optim_D.msgpack").exists()
+
+
+def test_two_stage_inference(checkpoints, dataroot, tmp_path_factory):
+    results = tmp_path_factory.mktemp("results")
+    config = TestOptions()
+    opt = config.parse(
+        print_options=False, store_options=False,
+        args=[
+            "--checkpoint", str(checkpoints),
+            "--dataroot", str(dataroot),
+            "--results_dir", str(results),
+            "--batch_size", "2",
+        ],
+    )
+    inference_main(opt)
+
+    warp_out = results / "warp"
+    npzs = sorted(p for p in os.listdir(warp_out) if p.endswith(".npz"))
+    assert len(npzs) == N_ITEMS
+    assert npzs[0] == "img00_to_img00.npz"
+    m = sparse.load_npz(warp_out / npzs[0])
+    assert m.shape == (SIZE, SIZE)
+    assert (warp_out / "index.html").exists()
+
+    tex_out = results / "texture"
+    assert (tex_out / "index.html").exists()
+    images = os.listdir(tex_out / "images")
+    assert any("fakes" in i for i in images)
+    # one gallery row per warped npz
+    assert len([i for i in images if i.endswith("_fakes.png")]) == N_ITEMS
+
+
+def test_continue_train(checkpoints, dataroot):
+    opt = TrainOptions().parse(
+        print_options=False, store_options=False,
+        args=[
+            "--model", "warp", "--name", "warp", "--warp_mode", "ce",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(checkpoints),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "0",
+            "--latest_checkpoint_freq", "0", "--print_freq", "1000",
+            "--display_freq", "1000", "--compute_dtype", "float32",
+            "--continue_train", "--load_epoch", "latest",
+        ],
+    )
+    state = train(opt)
+    # resumed from step 2 (2 batches of the first run) + 2 more batches
+    assert int(state.step) == 4

@@ -1,0 +1,135 @@
+"""Checkpoint-porter parity: port real reference state_dicts and compare
+forward passes against the actual reference torch modules.
+
+The reference's pure-torch module files are imported straight from
+/root/reference (read-only) as the parity oracle; torchvision (absent in
+this image) is stubbed since only TextureModule's forward needs it.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+# --- import reference modules with a torchvision stub ----------------------
+if "torchvision" not in sys.modules:
+    tv = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+
+    class _StubRoIAlign(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    tv_ops.RoIAlign = _StubRoIAlign
+    tv.ops = tv_ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv_ops
+
+sys.path.insert(0, "/root/reference")
+from modules.pix2pix_modules import UnetGenerator as TorchUnetGenerator  # noqa: E402
+from modules.discriminators import NLayerDiscriminator as TorchNLayerD  # noqa: E402
+from modules.swapnet_modules import WarpModule as TorchWarpModule  # noqa: E402
+from modules import get_norm_layer  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from swapnet_tpu.models.discriminators import NLayerDiscriminator  # noqa: E402
+from swapnet_tpu.models.unet import UnetGenerator  # noqa: E402
+from swapnet_tpu.models.warp import WarpModule  # noqa: E402
+from swapnet_tpu.utils.porter import (  # noqa: E402
+    port_nlayer_discriminator,
+    port_unet_generator,
+    port_warp_module,
+)
+
+
+def to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def _sd_numpy(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.mark.parametrize("num_downs,size", [(5, 32), (6, 64)])
+def test_unet_generator_instance_norm_parity(num_downs, size):
+    torch.manual_seed(0)
+    tmod = TorchUnetGenerator(
+        7, 3, num_downs, ngf=16,
+        norm_layer=get_norm_layer("instance"), use_dropout=False,
+    ).eval()
+    params, stats = port_unet_generator(_sd_numpy(tmod), num_downs)
+    assert not stats
+
+    x = np.random.RandomState(0).randn(2, size, size, 7).astype(np.float32)
+    ours = UnetGenerator(
+        output_nc=3, num_downs=num_downs, ngf=16, norm_type="instance"
+    ).apply({"params": params}, jnp.asarray(x), False)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref.numpy()), atol=2e-4)
+
+
+def test_unet_generator_batch_norm_parity():
+    torch.manual_seed(1)
+    tmod = TorchUnetGenerator(
+        5, 3, 5, ngf=8, norm_layer=get_norm_layer("batch"), use_dropout=False
+    )
+    # give the running stats non-trivial values via a few train forwards
+    with torch.no_grad():
+        for _ in range(3):
+            tmod(torch.randn(4, 5, 32, 32))
+    tmod = tmod.eval()
+    params, stats = port_unet_generator(_sd_numpy(tmod), 5)
+    assert stats, "batch norm must produce batch_stats"
+
+    x = np.random.RandomState(1).randn(2, 32, 32, 5).astype(np.float32)
+    ours = UnetGenerator(
+        output_nc=3, num_downs=5, ngf=8, norm_type="batch"
+    ).apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), False
+    )
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref.numpy()), atol=2e-4)
+
+
+def test_warp_module_parity():
+    torch.manual_seed(2)
+    tmod = TorchWarpModule(body_channels=3, cloth_channels=19).eval()
+    params = port_warp_module(_sd_numpy(tmod))
+
+    r = np.random.RandomState(2)
+    body = r.randn(1, 128, 128, 3).astype(np.float32)
+    cloth = r.randn(1, 128, 128, 19).astype(np.float32)
+    ours = WarpModule().apply(
+        {"params": params}, jnp.asarray(body), jnp.asarray(cloth), False
+    )
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(to_nchw(body)), torch.from_numpy(to_nchw(cloth)))
+    np.testing.assert_allclose(
+        np.asarray(ours), to_nhwc(ref.numpy()), atol=5e-4
+    )
+
+
+def test_nlayer_discriminator_parity():
+    torch.manual_seed(3)
+    tmod = TorchNLayerD(
+        22, ndf=16, n_layers=3, norm_layer=get_norm_layer("instance")
+    ).eval()
+    params, stats = port_nlayer_discriminator(_sd_numpy(tmod), 3, "instance")
+
+    x = np.random.RandomState(3).randn(2, 64, 64, 22).astype(np.float32)
+    ours = NLayerDiscriminator(ndf=16, n_layers=3, norm_type="instance").apply(
+        {"params": params}, jnp.asarray(x), False
+    )
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref.numpy()), atol=2e-4)

@@ -1,0 +1,15 @@
+"""Training entry point — CLI-compatible with the reference train.py.
+
+Example:
+    Train the warp model:
+        python train.py --name warp_stage --model warp --dataroot data/deep_fashion
+    Train the texture model:
+        python train.py --name texture_stage --model texture --dataroot data/deep_fashion
+"""
+
+from swapnet_tpu.options import TrainOptions
+from swapnet_tpu.training.loop import train
+
+if __name__ == "__main__":
+    opt = TrainOptions().parse(store_options=True)
+    train(opt)
