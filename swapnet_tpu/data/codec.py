@@ -27,6 +27,27 @@ def decompress_cloth_labels(fname: str) -> np.ndarray:
     return np.asarray(m.todense(), dtype=np.uint8)
 
 
+def decompress_cloth_labels_resized(fname: str, size: int) -> np.ndarray:
+    """Fused decode + nearest resize via the native C++ kernel when the
+    file is CSC (the reference's write format); numpy fallback otherwise."""
+    with np.load(fname) as z:
+        fmt = z["format"].item()
+        fmt = fmt.decode() if isinstance(fmt, bytes) else str(fmt)
+        if fmt == "csc":
+            from swapnet_tpu.data import native
+
+            rows, cols = (int(v) for v in z["shape"])
+            out = native.csc_to_dense_resized(
+                z["data"], z["indices"], z["indptr"], rows, cols, size, size
+            )
+            if out is not None:
+                return out
+    labels = decompress_cloth_labels(fname)
+    from swapnet_tpu.data.image_io import resize_labels_nearest
+
+    return resize_labels_nearest(labels, size)
+
+
 def labels_to_onehot(labels, n_labels: int = 19, dtype=None):
     """Dense (..., H, W) int labels -> (..., H, W, n_labels) one-hot.
 

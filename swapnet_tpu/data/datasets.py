@@ -21,7 +21,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from swapnet_tpu.data.codec import decompress_cloth_labels
+from swapnet_tpu.data.codec import decompress_cloth_labels_resized
 from swapnet_tpu.data.files import (
     IMG_EXTENSIONS,
     find_valid_files,
@@ -30,7 +30,7 @@ from swapnet_tpu.data.files import (
     remove_extension,
     remove_prefix,
 )
-from swapnet_tpu.data.image_io import load_rgb, resize_labels_nearest, resize_rgb
+from swapnet_tpu.data.image_io import load_rgb, resize_rgb
 from swapnet_tpu.data.rois import load_rois_csv
 from swapnet_tpu.data.stats import get_norm_stats
 
@@ -71,7 +71,7 @@ class WarpDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         size = self.opt.load_size
         cloth_file = self.cloth_files[index]
-        target_labels = decompress_cloth_labels(cloth_file)
+        target_labels = decompress_cloth_labels_resized(cloth_file, size)
 
         if self.is_train:
             if self.opt.dataset_mode == "image":
@@ -79,7 +79,7 @@ class WarpDataset:
             elif self.opt.dataset_mode == "video":
                 # temporal augmentation: a random other frame as the input
                 other = self.cloth_files[random.randint(0, len(self) - 1)]
-                input_labels = decompress_cloth_labels(other)
+                input_labels = decompress_cloth_labels_resized(other, size)
             else:
                 raise ValueError(self.opt.dataset_mode)
             body_file = get_corresponding_file(cloth_file, self.body_dir)
@@ -92,8 +92,8 @@ class WarpDataset:
             "body_paths": body_file,
             "bodys_u8": body,
             "cloth_paths": cloth_file,
-            "input_labels": resize_labels_nearest(input_labels, size),
-            "target_labels": resize_labels_nearest(target_labels, size),
+            "input_labels": input_labels,
+            "target_labels": target_labels,
         }
 
 
@@ -148,7 +148,7 @@ class TextureDataset:
             if self.is_train
             else self.cloth_files[index]
         )
-        cloth_labels = resize_labels_nearest(decompress_cloth_labels(cloth_file), size)
+        cloth_labels = decompress_cloth_labels_resized(cloth_file, size)
 
         scale = float(size) / original_size
         rois = np.rint(self.rois[file_id] * scale).astype(np.float32)

@@ -56,3 +56,10 @@ class TrainOptions(BaseOptions):
                             help="weights initialization method")
         parser.add_argument("--init_gain", default=0.02, type=float,
                             help="init scaling factor")
+        # TPU-native extensions
+        parser.add_argument("--profile_dir", default=None,
+                            help="write a JAX profiler trace of a few steps here")
+        parser.add_argument("--profile_steps", default=2, type=int,
+                            help="step index at which to start the profiler trace")
+        parser.add_argument("--seed", default=0, type=int,
+                            help="PRNG seed for init/augmentation/labels")

@@ -15,6 +15,7 @@ Differences from the reference loop (train.py:31-119):
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 import jax
@@ -33,6 +34,32 @@ from swapnet_tpu.utils.visualizer import Visualizer
 
 def _array_part(batch):
     return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization with training: device_get happens
+    on the caller (cheap, one sync), file IO on a worker thread.  The
+    reference round-trips every net through the CPU synchronously
+    (models/base_model.py:149-173)."""
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, state, ckpt_dir: str, label) -> None:
+        from swapnet_tpu.utils import checkpoint as ckpt
+
+        host_state = jax.device_get(state)
+        self.wait()
+        self._thread = threading.Thread(
+            target=ckpt.save_checkpoint, args=(host_state, ckpt_dir, label),
+            daemon=True,
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def train(opt):
@@ -72,9 +99,12 @@ def train(opt):
         print(f"loaded checkpoint '{opt.load_epoch}' from {ckpt_dir} (step {int(state.step)})")
 
     step_fn = jax.jit(system.train_step, donate_argnums=0)
+    saver = AsyncCheckpointer()
+
+    profile_dir = getattr(opt, "profile_dir", None)
+    profile_steps = getattr(opt, "profile_steps", 0)
 
     total_iters = 0
-    pending = None  # (metrics ref, epoch, epoch_iter, t_comp, t_data)
     for epoch in range(opt.start_epoch + 1, opt.n_epochs + 1):
         epoch_iter = 0
         iter_data_time = time.time()
@@ -85,12 +115,18 @@ def train(opt):
             total_iters += opt.batch_size
             epoch_iter += opt.batch_size
 
+            if profile_dir and total_iters == profile_steps * opt.batch_size:
+                jax.profiler.start_trace(profile_dir)
             arrays = {
                 k: jax.device_put(v, data_sh) for k, v in _array_part(batch).items()
             }
             rng, r_pre = jax.random.split(rng)
             model_batch = preprocess(r_pre, arrays)
             state, metrics = step_fn(state, model_batch)
+            if profile_dir and total_iters == (profile_steps + 3) * opt.batch_size:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
 
             if total_iters % opt.print_freq == 0:
                 # fetch (sync point) only at print boundaries
@@ -112,13 +148,15 @@ def train(opt):
             ):
                 label = f"iter_{total_iters}" if opt.save_by_iter else "latest"
                 print(f"saving the latest model (epoch {epoch}, total_iters {total_iters})")
-                ckpt.save_checkpoint(state, ckpt_dir, label)
+                saver.save(state, ckpt_dir, label)
 
             iter_data_time = time.time()
 
         if opt.checkpoint_freq and epoch % opt.checkpoint_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
+            saver.wait()
             ckpt.save_checkpoint(state, ckpt_dir, "latest")
             ckpt.save_checkpoint(state, ckpt_dir, epoch)
 
+    saver.wait()
     return state

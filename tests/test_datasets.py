@@ -1,0 +1,130 @@
+"""Host dataset tests: item contracts, pairing, video mode, loader capping."""
+
+import json
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy import sparse
+
+from swapnet_tpu.data.datasets import TextureDataset, WarpDataset
+from swapnet_tpu.data.loader import DataLoader
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    r = np.random.RandomState(0)
+    for sub in ("cloth", "body", "texture"):
+        os.makedirs(root / sub)
+    rows = []
+    for i in range(6):
+        fid = f"f{i}"
+        labels = r.randint(0, 19, (128, 128)).astype(np.uint8)
+        sparse.save_npz(str(root / "cloth" / f"{fid}.npz"), sparse.csc_matrix(labels))
+        Image.fromarray(r.randint(0, 255, (128, 128, 3), dtype=np.uint8)).save(
+            root / "body" / f"{fid}.png"
+        )
+        Image.fromarray(r.randint(0, 255, (256, 256, 3), dtype=np.uint8)).save(
+            root / "texture" / f"{fid}.jpg"
+        )
+        for _ in range(12):
+            rows.append(f"{fid},10,20,100,200")  # coords in 256-space
+    with open(root / "rois.csv", "w") as f:
+        f.write("id,xmin,ymin,xmax,ymax\n" + "\n".join(rows) + "\n")
+    with open(root / "normalization_stats.json", "w") as f:
+        f.write(json.dumps({"path": "body", "means": [0.5] * 3, "stds": [0.25] * 3}) + "\n")
+        f.write(json.dumps({"path": "texture", "means": [0.5] * 3, "stds": [0.25] * 3}) + "\n")
+    return root
+
+
+def _opt(root, **kw):
+    base = dict(
+        dataroot=str(root), is_train=True, load_size=SIZE, crop_size=SIZE,
+        cloth_representation="labels", cloth_channels=19,
+        dataset_mode="image", shuffle_data=True,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+def test_warp_dataset_item(dataroot):
+    ds = WarpDataset(_opt(dataroot))
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["bodys_u8"].shape == (SIZE, SIZE, 3)
+    assert item["bodys_u8"].dtype == np.uint8
+    assert item["input_labels"].shape == (SIZE, SIZE)
+    assert item["target_labels"].dtype == np.uint8
+    # image mode: input == target before device-side augmentation
+    np.testing.assert_array_equal(item["input_labels"], item["target_labels"])
+    # pairing: body file matches cloth id
+    assert os.path.basename(item["body_paths"]).split(".")[0] == os.path.basename(
+        item["cloth_paths"]
+    ).split(".")[0]
+
+
+def test_warp_dataset_video_mode(dataroot):
+    ds = WarpDataset(_opt(dataroot, dataset_mode="video"))
+    diffs = 0
+    for _ in range(8):
+        item = ds[0]
+        if not np.array_equal(item["input_labels"], item["target_labels"]):
+            diffs += 1
+    assert diffs > 0, "video mode should sample other frames as input"
+
+
+def test_warp_dataset_inference_mode(dataroot):
+    opt = _opt(dataroot, is_train=False, shuffle_data=False)
+    ds = WarpDataset(opt)
+    item = ds[1]
+    np.testing.assert_array_equal(item["input_labels"], item["target_labels"])
+    assert opt.body_norm_stats == ([0.5] * 3, [0.25] * 3)
+
+
+def test_texture_dataset_item(dataroot):
+    opt = _opt(dataroot)
+    ds = TextureDataset(opt)
+    item = ds[0]
+    assert item["textures_u8"].shape == (SIZE, SIZE, 3)
+    assert item["cloth_labels"].shape == (SIZE, SIZE)
+    assert item["rois"].shape == (12, 4)
+    # rois scaled from original 256 -> load 64 (factor 0.25), rounded
+    np.testing.assert_allclose(item["rois"][0], [2.0, 5.0, 25.0, 50.0])
+
+
+def test_loader_caps_and_collates(dataroot):
+    ds = WarpDataset(_opt(dataroot))
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        max_dataset_size=4, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["bodys_u8"].shape == (2, SIZE, SIZE, 3)
+    assert isinstance(b["cloth_paths"], list) and len(b["cloth_paths"]) == 2
+
+
+def test_loader_shuffles_per_epoch(dataroot):
+    ds = WarpDataset(_opt(dataroot))
+    loader = DataLoader(ds, batch_size=6, shuffle=True, num_workers=1, seed=1)
+    e1 = next(iter(loader))["cloth_paths"]
+    e2 = next(iter(loader))["cloth_paths"]
+    assert set(e1) == set(e2)
+    assert e1 != e2, "epochs should reshuffle"
+
+
+def test_loader_propagates_worker_errors(dataroot):
+    class Boom:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    loader = DataLoader(Boom(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)
