@@ -104,6 +104,29 @@ def train(opt):
     profile_dir = getattr(opt, "profile_dir", None)
     profile_steps = getattr(opt, "profile_steps", 0)
 
+    # box the state so the KeyboardInterrupt handler sees the latest value
+    box = {"state": state, "rng": rng}
+    try:
+        _train_epochs(
+            opt, loader, system, preprocess, visualizer, ckpt_dir,
+            box, step_fn, saver, data_sh, profile_dir, profile_steps,
+        )
+    except KeyboardInterrupt:
+        # graceful preemption: persist the latest state before exiting
+        print("interrupted — saving latest checkpoint")
+        saver.wait()
+        ckpt.save_checkpoint(box["state"], ckpt_dir, "latest")
+        raise
+
+    saver.wait()
+    return box["state"]
+
+
+def _train_epochs(
+    opt, loader, system, preprocess, visualizer, ckpt_dir,
+    box, step_fn, saver, data_sh, profile_dir, profile_steps,
+):
+    state, rng = box["state"], box["rng"]
     total_iters = 0
     for epoch in range(opt.start_epoch + 1, opt.n_epochs + 1):
         epoch_iter = 0
@@ -123,6 +146,7 @@ def train(opt):
             rng, r_pre = jax.random.split(rng)
             model_batch = preprocess(r_pre, arrays)
             state, metrics = step_fn(state, model_batch)
+            box["state"], box["rng"] = state, rng
             if profile_dir and total_iters == (profile_steps + 3) * opt.batch_size:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

@@ -60,7 +60,16 @@ class Visualizer:
             if img.ndim == 4:
                 img = img[0]
             save_rgb(img, os.path.join(self.img_dir, f"epoch{epoch:03d}_{label}.png"))
+        # regenerate the loss curve (the visdom line-plot replacement)
+        from swapnet_tpu.utils.loss_plot import write_loss_plot
+
+        write_loss_plot(self.log_dir)
         webpage = HTML(self.web_dir, f"Experiment name = {self.name}", refresh=0)
+        webpage.add_header("training losses")
+        webpage._body.append(
+            "<p><object type='image/svg+xml' data='../loss_plot.svg' "
+            "width='720' height='320'></object></p>"
+        )
         for n in range(epoch, 0, -1):
             webpage.add_header(f"epoch [{n}]")
             ims, txts, links = [], [], []
