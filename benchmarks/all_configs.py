@@ -33,16 +33,35 @@ def _median_ms(fn, iters=20):
     return float(np.median(times) * 1e3)
 
 
-def _throughput(step, state, batch, steps=15):
+def _throughput(step, state, batch, steps=20):
+    """Chained-dispatch throughput with a linear-scaling sanity check.
+
+    MUST run with exclusive device access: the (experimental) axon
+    runtime returns wildly wrong timings when other processes share the
+    chip.  We time `steps` and `2*steps` chains and require ~linear
+    scaling; otherwise the measurement is rejected.
+    """
     import jax
 
     state, m = step(state, batch)
     jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, batch)
-    jax.block_until_ready(m)
-    return steps / (time.perf_counter() - t0)
+
+    def run(n, state):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, batch)
+        jax.block_until_ready(m)
+        return time.perf_counter() - t0, state
+
+    t1, state = run(steps, state)
+    t2, state = run(2 * steps, state)
+    ratio = t2 / t1
+    if not 1.6 <= ratio <= 2.6:
+        raise RuntimeError(
+            f"non-linear timing (x2 steps took {ratio:.2f}x): device is "
+            "contended or the runtime mis-reported; rerun exclusively"
+        )
+    return (steps + 2 * steps) / (t1 + t2)
 
 
 def config1_warp_inference_cpu():

@@ -74,6 +74,35 @@ class PixelDiscriminator(nn.Module):
         return Conv(1, 1, 1, 0, use_bias=use_bias, **kw)(x)
 
 
+class FullImageDiscriminator(nn.Module):
+    """Legacy full-image discriminator with a linear head (reference
+    modules/discriminators.py:11-43; unused by the default configs but
+    part of the public surface).  Conv3s2 stack + dropout + batch-norm,
+    flatten, single logit."""
+
+    in_channels: int = 3
+    img_size: int = 512
+    init_type: str = "kaiming"
+    init_gain: float = 0.02
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        for i, ch in enumerate((16, 32, 64, 128)):
+            x = Conv(ch, 3, 2, 1, use_bias=True, **kw)(x)
+            x = leaky_relu(x, 0.2)
+            x = nn.Dropout(0.25, deterministic=not train)(x)
+            if i > 0:
+                x = Norm("batch", self.init_gain, self.dtype)(x, train)
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(
+            1, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(self.init_gain),
+        )(x)
+
+
 def define_D(
     netD: str = "basic",
     ndf: int = 64,

@@ -1,0 +1,53 @@
+"""Mesh extras: multihost degenerate path, spatial sharding, legacy D."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from swapnet_tpu.models.discriminators import FullImageDiscriminator
+from swapnet_tpu.parallel import batch_sharding, create_mesh
+from swapnet_tpu.parallel.multihost import global_batch_from_local, local_batch_slice
+
+
+def test_local_batch_slice_single_host():
+    assert local_batch_slice(16) == slice(0, 16)
+
+
+def test_global_batch_from_local_single_host():
+    mesh = create_mesh()
+    batch = {"x": np.ones((8, 4, 4, 3), np.float32), "paths": ["a"] * 8}
+    out = global_batch_from_local(batch, mesh)
+    assert out["x"].sharding.spec == P("data")
+    assert out["paths"] == ["a"] * 8
+
+
+def test_spatial_sharding_conv_halo():
+    """Conv over an H-sharded input must equal the unsharded result —
+    XLA inserts the halo exchange (the context-parallel analog)."""
+    from jax.sharding import NamedSharding
+
+    mesh = create_mesh(data=4, space=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 8).astype(np.float32))
+    k = jnp.asarray(np.random.RandomState(1).randn(3, 3, 8, 8).astype(np.float32))
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    ref = conv(x)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+    out = jax.jit(conv)(xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_full_image_discriminator():
+    d = FullImageDiscriminator(in_channels=3, img_size=64)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = d.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, True
+    )
+    out = d.apply(variables, x, False)
+    assert out.shape == (2, 1)
