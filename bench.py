@@ -4,6 +4,10 @@ Runs the full fused train step (G fwd + D update + G update, bf16 compute)
 at the reference's default config — 128x128, batch 8 (BASELINE.md) — on
 whatever device JAX_PLATFORMS selects (the real TPU chip under the driver).
 
+Timing uses a device-side fori_loop with a linearity check
+(benchmarks/timing.py) because the axon runtime's per-dispatch timing is
+untrustworthy.  Requires exclusive device access.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` compares against the measured reference throughput stored
 in BASELINE_MEASURED.json (the upstream repo publishes no numbers, so the
@@ -13,38 +17,28 @@ baseline is our own measurement of the torch reference; see BASELINE.md).
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _texture_batch
+    from benchmarks.timing import scan_seconds_per_step
     from swapnet_tpu.training import TextureSystem
 
     size, batch = 128, int(os.environ.get("BENCH_BATCH", 8))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
+    k = int(os.environ.get("BENCH_STEPS", 20))
 
     system = TextureSystem(img_size=size, dtype=jnp.bfloat16)
     batch_d = _texture_batch(batch, size)
     state = system.init_state(jax.random.key(0), batch_d)
-    step = jax.jit(system.train_step, donate_argnums=0)
 
-    # warmup / compile
-    for _ in range(3):
-        state, metrics = step(state, batch_d)
-    jax.block_until_ready(metrics)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, batch_d)
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
-
-    images_per_sec = steps * batch / dt
+    sec = scan_seconds_per_step(
+        lambda s: system.train_step(s, batch_d)[0], state, k=k
+    )
+    images_per_sec = batch / sec
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")

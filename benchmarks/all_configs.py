@@ -21,47 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _median_ms(fn, iters=20):
-    import jax
-
-    jax.block_until_ready(fn())
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1e3)
-
-
-def _throughput(step, state, batch, steps=20):
-    """Chained-dispatch throughput with a linear-scaling sanity check.
-
-    MUST run with exclusive device access: the (experimental) axon
-    runtime returns wildly wrong timings when other processes share the
-    chip.  We time `steps` and `2*steps` chains and require ~linear
-    scaling; otherwise the measurement is rejected.
-    """
-    import jax
-
-    state, m = step(state, batch)
-    jax.block_until_ready(m)
-
-    def run(n, state):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, m = step(state, batch)
-        jax.block_until_ready(m)
-        return time.perf_counter() - t0, state
-
-    t1, state = run(steps, state)
-    t2, state = run(2 * steps, state)
-    ratio = t2 / t1
-    if not 1.6 <= ratio <= 2.6:
-        raise RuntimeError(
-            f"non-linear timing (x2 steps took {ratio:.2f}x): device is "
-            "contended or the runtime mis-reported; rerun exclusively"
-        )
-    return (steps + 2 * steps) / (t1 + t2)
+from benchmarks.timing import scan_seconds_per_iter_fn, scan_seconds_per_step
 
 
 def config1_warp_inference_cpu():
@@ -134,12 +94,16 @@ def main():
         {"params": jax.random.key(0), "dropout": jax.random.key(0)},
         b["t"], b["r"], b["c"], False,
     )
-    f512 = jax.jit(lambda v, t, r, c: tex512.apply(v, t, r, c, False))
-    results["texture_inference_512_p50_ms"] = round(
-        _median_ms(lambda: f512(v512, b["t"], b["r"], b["c"])), 2
+
+    def tex512_iter(carry, v):
+        out = tex512.apply(v, b["t"] + carry * 0, b["r"], b["c"], False)
+        return jnp.mean(out).astype(jnp.float32)
+
+    results["texture_inference_512_ms"] = round(
+        scan_seconds_per_iter_fn(tex512_iter, 20, v512) * 1e3, 3
     )
-    print("config 2 done:", results["texture_inference_512_p50_ms"], "ms", flush=True)
-    del v512, f512
+    print("config 2 done:", results["texture_inference_512_ms"], "ms", flush=True)
+    del v512
 
     # ---- config 3: warp GAN train, batch 8 -----------------------------
     r = np.random.RandomState(0)
@@ -151,23 +115,23 @@ def main():
     }
     wsys = WarpSystem(warp_mode="gan", dtype=jnp.bfloat16)
     wstate = wsys.init_state(jax.random.key(0), warp_batch)
-    wstep = jax.jit(wsys.train_step, donate_argnums=0)
-    results["warp_gan_train_images_per_sec"] = round(
-        8 * _throughput(wstep, wstate, warp_batch), 2
+    sec = scan_seconds_per_step(
+        lambda s: wsys.train_step(s, warp_batch)[0], wstate, k=20
     )
+    results["warp_gan_train_images_per_sec"] = round(8 / sec, 2)
     print("config 3 done:", results["warp_gan_train_images_per_sec"], "img/s", flush=True)
-    del wstate, wstep, wsys
+    del wstate, wsys
 
     # ---- config 4: texture GAN train (bench.py headline) ----------------
     tsys = TextureSystem(img_size=128, dtype=jnp.bfloat16)
     tb = _texture_batch(8, 128)
     tstate = tsys.init_state(jax.random.key(0), tb)
-    tstep = jax.jit(tsys.train_step, donate_argnums=0)
-    results["texture_gan_train_images_per_sec"] = round(
-        8 * _throughput(tstep, tstate, tb), 2
+    sec = scan_seconds_per_step(
+        lambda s: tsys.train_step(s, tb)[0], tstate, k=15
     )
+    results["texture_gan_train_images_per_sec"] = round(8 / sec, 2)
     print("config 4 done:", results["texture_gan_train_images_per_sec"], "img/s", flush=True)
-    del tstate, tstep, tsys
+    del tstate, tsys
 
     # ---- config 5: end-to-end batched swap pipeline ---------------------
     warp = WarpModule(dtype=jnp.bfloat16)
@@ -180,11 +144,19 @@ def main():
     wv = warp.init({"params": k, "dropout": k}, body[:1], cloth[:1], False)
     tv = tex.init({"params": k, "dropout": k}, texture[:1], rois[:1], cloth[:1], False)
     swap = FusedSwap(warp, wv, tex, tv)
-    ms = _median_ms(lambda: swap(body, cloth, texture, rois))
-    results["e2e_swap_batched_images_per_sec"] = round(8 / (ms / 1e3), 2)
-    results["e2e_swap_p50_ms_batch1"] = round(
-        _median_ms(lambda: swap(body[:1], cloth[:1], texture[:1], rois[:1])), 3
+
+    def swap_iter(carry, wv_, tv_, b_, c_, t_, r_):
+        out = swap._swap(wv_, tv_, b_ + carry * 0, c_, t_, r_)
+        return jnp.mean(out).astype(jnp.float32)
+
+    sec8 = scan_seconds_per_iter_fn(
+        swap_iter, 30, wv, tv, body, cloth, texture, rois
     )
+    results["e2e_swap_batched_images_per_sec"] = round(8 / sec8, 2)
+    sec1 = scan_seconds_per_iter_fn(
+        swap_iter, 50, wv, tv, body[:1], cloth[:1], texture[:1], rois[:1]
+    )
+    results["e2e_swap_device_ms_batch1"] = round(sec1 * 1e3, 3)
     print("config 5 done", flush=True)
 
     out_path = os.path.join(

@@ -1,8 +1,9 @@
 """Per-pair two-stage swap latency benchmark (BASELINE.json config 5 analog).
 
-Measures p50/p90 of the FUSED warp->texture program at batch 1, 128x128,
-bf16 on the current device, plus batched throughput.  Compare with the
-reference's CPU two-stage median in BASELINE_MEASURED.json.
+Measures device-time per fused warp->texture swap at batch 1 (latency) and
+batch N (throughput), 128x128 bf16, via the device-side-loop method in
+benchmarks/timing.py (host-side dispatch timing is unreliable under the
+axon tunnel).  Requires exclusive device access.
 
 Usage: python benchmarks/swap_latency.py [--size 128] [--batch 8]
 """
@@ -11,73 +12,65 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from benchmarks.timing import scan_seconds_per_iter_fn
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
     from swapnet_tpu.models.texture import TextureModule
     from swapnet_tpu.models.warp import WarpModule
-    from swapnet_tpu.swap import FusedSwap
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     warp = WarpModule(dtype=dtype)
     tex = TextureModule(img_size=args.size, dtype=dtype)
 
-    r = jax.random.key(0)
-    body = jnp.zeros((1, args.size, args.size, 3))
-    cloth = jnp.zeros((1, args.size, args.size, 19))
-    texture = jnp.zeros((1, args.size, args.size, 3))
-    rois = jnp.tile(
-        jnp.asarray([8.0, 8.0, args.size - 8.0, args.size - 8.0]), (1, 12, 1)
-    )
-    wv = warp.init({"params": r, "dropout": r}, body, cloth, False)
-    tv = tex.init({"params": r, "dropout": r}, texture, rois, cloth, False)
+    k = jax.random.key(0)
+    S = args.size
 
-    swap = FusedSwap(warp, wv, tex, tv)
-
-    def run(batch):
-        b, c, t, ro = (
-            jnp.tile(body, (batch, 1, 1, 1)),
-            jnp.tile(cloth, (batch, 1, 1, 1)),
-            jnp.tile(texture, (batch, 1, 1, 1)),
-            jnp.tile(rois, (batch, 1, 1)),
+    def inputs(B):
+        return (
+            jnp.zeros((B, S, S, 3)),
+            jnp.zeros((B, S, S, 19)),
+            jnp.zeros((B, S, S, 3)),
+            jnp.tile(jnp.asarray([8.0, 8.0, S - 8.0, S - 8.0]), (B, 12, 1)),
         )
-        jax.block_until_ready(swap(b, c, t, ro))  # compile
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(swap(b, c, t, ro))
-            times.append(time.perf_counter() - t0)
-        return np.asarray(times)
 
-    lat = run(1)
-    p50, p90 = np.percentile(lat, 50) * 1e3, np.percentile(lat, 90) * 1e3
-    thr = run(args.batch)
-    ips = args.batch / np.median(thr)
+    b1 = inputs(1)
+    wv = warp.init({"params": k, "dropout": k}, b1[0], b1[1], False)
+    tv = tex.init({"params": k, "dropout": k}, b1[2], b1[3], b1[1], False)
 
-    result = {
-        "swap_p50_ms": round(float(p50), 3),
-        "swap_p90_ms": round(float(p90), 3),
-        "swap_batched_images_per_sec": round(float(ips), 2),
-        "batch": args.batch,
-        "size": args.size,
-        "dtype": args.dtype,
-        "backend": jax.default_backend(),
-    }
-    print(json.dumps(result))
+    def swap_iter(carry, wv_, tv_, body, cloth, texture, rois):
+        warped = warp.apply(wv_, body + carry * 0, cloth, False)
+        onehot = jax.nn.one_hot(jnp.argmax(warped, -1), 19, dtype=warped.dtype)
+        out = tex.apply(tv_, texture, rois, onehot, False)
+        return jnp.mean(out).astype(jnp.float32)
+
+    sec1 = scan_seconds_per_iter_fn(swap_iter, 50, wv, tv, *inputs(1))
+    secN = scan_seconds_per_iter_fn(swap_iter, 30, wv, tv, *inputs(args.batch))
+
+    print(
+        json.dumps(
+            {
+                "swap_device_ms_batch1": round(sec1 * 1e3, 3),
+                "swap_batched_images_per_sec": round(args.batch / secN, 2),
+                "batch": args.batch,
+                "size": args.size,
+                "dtype": args.dtype,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

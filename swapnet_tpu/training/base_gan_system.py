@@ -72,9 +72,14 @@ class BaseGANSystem:
     def targets(self, batch) -> jax.Array:
         raise NotImplementedError
 
-    def extra_g_losses(self, fakes, batch, rng) -> Dict[str, jax.Array]:
-        """Weighted non-adversarial generator losses, keyed by metric name."""
+    def extra_g_losses(self, fakes, batch, rng, frozen=None) -> Dict[str, jax.Array]:
+        """Weighted non-adversarial generator losses, keyed by metric name.
+        ``frozen`` carries non-trained aux params (e.g. VGG weights)."""
         return {}
+
+    def frozen_variables(self):
+        """Frozen aux params to carry in the state (traced, not closure)."""
+        return None
 
     # ---- shared machinery ------------------------------------------------
 
@@ -112,7 +117,8 @@ class BaseGANSystem:
             d_opt_state = self.d_tx.init(d_params)
 
         return GANTrainState.create(
-            r_state, g_params, g_opt_state, g_extra, d_params, d_opt_state, d_extra
+            r_state, g_params, g_opt_state, g_extra, d_params, d_opt_state,
+            d_extra, frozen=self.frozen_variables(),
         )
 
     def init_generator(self, rngs, batch):
@@ -179,7 +185,7 @@ class BaseGANSystem:
 
         # -- generator update (uses the UPDATED discriminator) ------------
         def g_loss_from_fakes(fakes_):
-            extra = self.extra_g_losses(fakes_, batch, r_extra)
+            extra = self.extra_g_losses(fakes_, batch, r_extra, state.frozen)
             loss = sum(extra.values(), jnp.float32(0.0))
             aux = dict(extra)
             if self.D is not None and self.lambda_gan:

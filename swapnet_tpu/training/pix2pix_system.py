@@ -73,7 +73,7 @@ class Pix2PixSystem(BaseGANSystem):
     def targets(self, batch):
         return batch["target_textures"]
 
-    def extra_g_losses(self, fakes, batch, rng) -> Dict[str, jax.Array]:
+    def extra_g_losses(self, fakes, batch, rng, frozen=None) -> Dict[str, jax.Array]:
         l1 = jnp.mean(
             jnp.abs(fakes.astype(jnp.float32) - batch["target_textures"].astype(jnp.float32))
         )

@@ -24,10 +24,14 @@ class GANTrainState(flax.struct.PyTreeNode):
     d_params: Optional[Any] = None
     d_opt_state: Optional[Any] = None
     d_extra: Optional[Any] = None
+    # frozen aux params (e.g. the VGG feature extractor) — carried as a
+    # traced argument, NEVER closed over: closure constants get serialized
+    # into every XLA compile request (60MB+ -> HTTP 413 on remote compile)
+    frozen: Optional[Any] = None
 
     @classmethod
     def create(cls, rng, g_params, g_opt_state, g_extra=None,
-               d_params=None, d_opt_state=None, d_extra=None):
+               d_params=None, d_opt_state=None, d_extra=None, frozen=None):
         return cls(
             step=jnp.zeros([], jnp.int32),
             rng=rng,
@@ -37,4 +41,5 @@ class GANTrainState(flax.struct.PyTreeNode):
             d_params=d_params,
             d_opt_state=d_opt_state,
             d_extra=d_extra if d_extra is not None else ({} if d_params is not None else None),
+            frozen=frozen,
         )

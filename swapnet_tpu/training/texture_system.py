@@ -106,9 +106,13 @@ class TextureSystem(BaseGANSystem):
                 vgg_variables = self.vgg.init(
                     jax.random.key(7), jnp.zeros((1, img_size, img_size, 3))
                 )
-            # frozen: closed over as a constant, outside the trained pytree
-            self.vgg_variables = vgg_variables
+            # frozen: carried in state.frozen (traced arg), NOT a closure —
+            # closure constants blow up remote-compile request sizes
+            self._vgg_variables = vgg_variables
         self.perc_cfg = PerceptualLossConfig(use_style=lambda_style != 0)
+
+    def frozen_variables(self):
+        return {"vgg": self._vgg_variables} if self.use_perceptual else None
 
     # ---- hooks -----------------------------------------------------------
 
@@ -140,14 +144,15 @@ class TextureSystem(BaseGANSystem):
     def targets(self, batch):
         return batch["target_textures"]
 
-    def extra_g_losses(self, fakes, batch, rng) -> Dict[str, jax.Array]:
+    def extra_g_losses(self, fakes, batch, rng, frozen=None) -> Dict[str, jax.Array]:
         targets = batch["target_textures"]
         out = {}
         if self.lambda_l1:
             l1 = jnp.mean(jnp.abs(fakes.astype(jnp.float32) - targets.astype(jnp.float32)))
             out["loss_G_l1"] = l1 * self.lambda_l1
         if self.use_perceptual:
-            vgg_apply = lambda x: self.vgg.apply(self.vgg_variables, x)
+            vgg_vars = frozen["vgg"] if frozen is not None else self._vgg_variables
+            vgg_apply = lambda x: self.vgg.apply(vgg_vars, x)
             content, style = perceptual_loss(vgg_apply, fakes, targets, self.perc_cfg)
             if self.lambda_content:
                 out["loss_G_content"] = content * self.lambda_content

@@ -90,7 +90,7 @@ class WarpSystem(BaseGANSystem):
     def targets(self, batch):
         return batch["target_cloths"]
 
-    def extra_g_losses(self, fakes, batch, rng) -> Dict[str, jax.Array]:
+    def extra_g_losses(self, fakes, batch, rng, frozen=None) -> Dict[str, jax.Array]:
         # torch CrossEntropyLoss over the channel dim vs argmax targets
         # (warp_model.py:146-149); fakes are post-tanh, treated as logits.
         labels = jnp.argmax(batch["target_cloths"], axis=-1)

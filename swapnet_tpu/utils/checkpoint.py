@@ -46,6 +46,8 @@ def save_checkpoint(state: GANTrainState, ckpt_dir: str, label) -> None:
         if state.d_extra:
             _write(os.path.join(ckpt_dir, f"{label}_stats_discriminator.msgpack"), state.d_extra)
         _write(os.path.join(ckpt_dir, f"{label}_optim_D.msgpack"), state.d_opt_state)
+    if state.frozen is not None:
+        _write(os.path.join(ckpt_dir, f"{label}_frozen.msgpack"), state.frozen)
     meta = {
         "step": int(state.step),
         "rng": np.asarray(jax.random.key_data(state.rng)).tolist(),
@@ -78,6 +80,11 @@ def load_checkpoint(state: GANTrainState, ckpt_dir: str, label) -> GANTrainState
             d_stats = os.path.join(ckpt_dir, f"{label}_stats_discriminator.msgpack")
             if state.d_extra and os.path.exists(d_stats):
                 updates["d_extra"] = _read(d_stats, state.d_extra)
+
+    if state.frozen is not None:
+        frozen_path = os.path.join(ckpt_dir, f"{label}_frozen.msgpack")
+        if os.path.exists(frozen_path):
+            updates["frozen"] = _read(frozen_path, state.frozen)
 
     meta_path = os.path.join(ckpt_dir, f"{label}_state.json")
     if os.path.exists(meta_path):
