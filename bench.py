@@ -21,6 +21,9 @@ import sys
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from swapnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -9,8 +9,10 @@ file format):
 
 from swapnet_tpu.inference import main
 from swapnet_tpu.options import TestOptions
+from swapnet_tpu.utils.cache import enable_compilation_cache
 
 if __name__ == "__main__":
+    enable_compilation_cache()
     config = TestOptions()
     config.parse(store_options=False)
     main(config.opt)

@@ -56,6 +56,14 @@ def base_gan_modifier(parser: ArgumentParser, is_train: bool) -> ArgumentParser:
                             choices=("hard", "smooth"),
                             help="whether to use hard (real 1.0 fake 0.0) or smooth "
                                  "(real [0.7,1.1] fake [0.,0.3]) labels")
+        parser.add_argument("--compat_fake_label_bug", action="store_true",
+                            help="reproduce the reference bug where smooth FAKE "
+                                 "labels are drawn from the REAL range "
+                                 "(reference modules/loss.py:101-102)")
+        parser.add_argument("--compat_image_gram", action="store_true",
+                            help="reproduce the reference bug where the style loss "
+                                 "uses image grams instead of feature grams "
+                                 "(reference modules/losses/perceptual.py:61-63)")
     return parser
 
 

@@ -41,6 +41,7 @@ def _gan_cfg(opt):
     return GANLossConfig(
         gan_mode=getattr(opt, "gan_mode", "vanilla"),
         smooth_labels=getattr(opt, "gan_label_mode", "smooth") == "smooth",
+        compat_fake_label_bug=getattr(opt, "compat_fake_label_bug", False),
     )
 
 
@@ -102,6 +103,7 @@ def create_system(opt, vgg_variables=None):
             lambda_discriminator=getattr(opt, "lambda_discriminator", 1.0),
             lambda_gp=getattr(opt, "lambda_gp", 10.0),
             is_train=is_train,
+            compat_image_gram=getattr(opt, "compat_image_gram", False),
             **common,
         )
     if name == "pix2pix":

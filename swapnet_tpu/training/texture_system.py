@@ -65,6 +65,7 @@ class TextureSystem(BaseGANSystem):
         lambda_discriminator: float = 1.0,
         lambda_gp: float = 10.0,
         is_train: bool = True,
+        compat_image_gram: bool = False,
     ):
         if netG == "swapnet":
             generator = TextureModule(
@@ -109,7 +110,9 @@ class TextureSystem(BaseGANSystem):
             # frozen: carried in state.frozen (traced arg), NOT a closure —
             # closure constants blow up remote-compile request sizes
             self._vgg_variables = vgg_variables
-        self.perc_cfg = PerceptualLossConfig(use_style=lambda_style != 0)
+        self.perc_cfg = PerceptualLossConfig(
+            use_style=lambda_style != 0, compat_image_gram=compat_image_gram
+        )
 
     def frozen_variables(self):
         return {"vgg": self._vgg_variables} if self.use_perceptual else None

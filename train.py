@@ -9,7 +9,9 @@ Example:
 
 from swapnet_tpu.options import TrainOptions
 from swapnet_tpu.training.loop import train
+from swapnet_tpu.utils.cache import enable_compilation_cache
 
 if __name__ == "__main__":
+    enable_compilation_cache()
     opt = TrainOptions().parse(store_options=True)
     train(opt)
