@@ -1,0 +1,110 @@
+"""Serving: build the fused low-latency swap from trained checkpoints.
+
+Production counterpart of the file-based inference.py pipeline: loads the
+two generators from reference-layout checkpoint dirs (msgpack or ported
+.pth), reconstructs their architectures from the stored args.json, and
+returns a FusedSwap whose single jitted program does
+warp -> argmax/one-hot -> texture entirely in HBM (0.9 ms device time per
+pair at 128x128 bf16; see BENCH_DETAILS.json).
+
+Host-side helpers handle the same preprocessing the datasets do
+(normalization by stats, one-hot label decode), so a caller can go from
+raw files to a swapped RGB image.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swapnet_tpu.models.texture import TextureModule
+from swapnet_tpu.models.warp import WarpModule
+from swapnet_tpu.swap import FusedSwap
+from swapnet_tpu.utils import checkpoint as ckpt
+
+
+def _load_args(ckpt_dir: str) -> dict:
+    with open(os.path.join(ckpt_dir, "args.json")) as f:
+        return json.load(f)
+
+
+def build_fused_swap(
+    warp_ckpt_dir: str,
+    texture_ckpt_dir: str,
+    load_epoch: str = "latest",
+    dtype: Any = jnp.bfloat16,
+) -> Tuple[FusedSwap, dict]:
+    """Returns (FusedSwap, texture args dict) from two checkpoint dirs."""
+    wargs = _load_args(warp_ckpt_dir)
+    targs = _load_args(texture_ckpt_dir)
+
+    body_channels = wargs["body_channels"] if wargs["body_representation"] == "labels" else 3
+    cloth_channels = wargs["cloth_channels"] if wargs["cloth_representation"] == "labels" else 3
+    warp = WarpModule(
+        body_channels=body_channels, cloth_channels=cloth_channels, dtype=dtype
+    )
+    size = targs["crop_size"]
+    tex = TextureModule(
+        texture_channels=targs["texture_channels"],
+        cloth_channels=targs["cloth_channels"],
+        num_roi=targs["body_channels"],
+        img_size=size,
+        norm_type=targs.get("norm", "instance"),
+        dtype=dtype,
+    )
+
+    k = jax.random.key(0)
+    body = jnp.zeros((1, size, size, body_channels))
+    cloth = jnp.zeros((1, size, size, cloth_channels))
+    texture = jnp.zeros((1, size, size, targs["texture_channels"]))
+    rois = jnp.zeros((1, targs["body_channels"], 4))
+
+    wv_t = warp.init({"params": k, "dropout": k}, body, cloth, False)
+    tv_t = tex.init({"params": k, "dropout": k}, texture, rois, cloth, False)
+
+    wp, wx = ckpt.load_generator_weights(
+        warp_ckpt_dir, load_epoch, wv_t["params"],
+        {k_: v for k_, v in wv_t.items() if k_ != "params"},
+    )
+    tp, tx = ckpt.load_generator_weights(
+        texture_ckpt_dir, load_epoch, tv_t["params"],
+        {k_: v for k_, v in tv_t.items() if k_ != "params"},
+    )
+    warp_vars = {"params": wp, **(wx or {})}
+    tex_vars = {"params": tp, **(tx or {})}
+    return FusedSwap(warp, warp_vars, tex, tex_vars), targs
+
+
+class SwapService:
+    """Raw-inputs wrapper: normalization + one-hot on device, uint8 out."""
+
+    def __init__(self, fused: FusedSwap, body_norm_stats, texture_norm_stats,
+                 cloth_channels: int = 19):
+        self.fused = fused
+        self.body_stats = body_norm_stats
+        self.texture_stats = texture_norm_stats
+        self.cloth_channels = cloth_channels
+
+    def swap(
+        self,
+        body_u8: np.ndarray,  # (B, H, W, 3) uint8 body segmentation RGB
+        cloth_labels: np.ndarray,  # (B, H, W) uint8 label map
+        texture_u8: np.ndarray,  # (B, H, W, 3) uint8 source photo
+        rois: np.ndarray,  # (B, 12, 4)
+    ) -> np.ndarray:
+        from swapnet_tpu.data.codec import labels_to_onehot
+        from swapnet_tpu.data.transforms import normalize
+        from swapnet_tpu.utils.visuals import tensor2im
+
+        body = normalize(jnp.asarray(body_u8, jnp.float32) / 255.0, *self.body_stats)
+        cloth = labels_to_onehot(jnp.asarray(cloth_labels), self.cloth_channels)
+        texture = normalize(
+            jnp.asarray(texture_u8, jnp.float32) / 255.0, *self.texture_stats
+        )
+        out = self.fused(body, cloth, texture, jnp.asarray(rois))
+        return tensor2im(np.asarray(out))
