@@ -43,6 +43,13 @@ def build_fused_swap(
     wargs = _load_args(warp_ckpt_dir)
     targs = _load_args(texture_ckpt_dir)
 
+    netG = targs.get("netG", "swapnet")
+    if netG != "swapnet":
+        raise ValueError(
+            f"fused swap requires a TextureModule checkpoint (netG='swapnet'); "
+            f"this checkpoint was trained with netG='{netG}'"
+        )
+
     body_channels = wargs["body_channels"] if wargs["body_representation"] == "labels" else 3
     cloth_channels = wargs["cloth_channels"] if wargs["cloth_representation"] == "labels" else 3
     warp = WarpModule(
@@ -61,11 +68,12 @@ def build_fused_swap(
     k = jax.random.key(0)
     body = jnp.zeros((1, size, size, body_channels))
     cloth = jnp.zeros((1, size, size, cloth_channels))
+    tex_cloth = jnp.zeros((1, size, size, targs["cloth_channels"]))
     texture = jnp.zeros((1, size, size, targs["texture_channels"]))
     rois = jnp.zeros((1, targs["body_channels"], 4))
 
     wv_t = warp.init({"params": k, "dropout": k}, body, cloth, False)
-    tv_t = tex.init({"params": k, "dropout": k}, texture, rois, cloth, False)
+    tv_t = tex.init({"params": k, "dropout": k}, texture, rois, tex_cloth, False)
 
     wp, wx = ckpt.load_generator_weights(
         warp_ckpt_dir, load_epoch, wv_t["params"],
@@ -84,11 +92,12 @@ class SwapService:
     """Raw-inputs wrapper: normalization + one-hot on device, uint8 out."""
 
     def __init__(self, fused: FusedSwap, body_norm_stats, texture_norm_stats,
-                 cloth_channels: int = 19):
+                 cloth_channels: Optional[int] = None):
         self.fused = fused
         self.body_stats = body_norm_stats
         self.texture_stats = texture_norm_stats
-        self.cloth_channels = cloth_channels
+        # derive from the loaded warp module unless explicitly overridden
+        self.cloth_channels = cloth_channels or fused.warp.cloth_channels
 
     def swap(
         self,

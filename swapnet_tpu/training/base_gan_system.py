@@ -83,12 +83,6 @@ class BaseGANSystem:
 
     # ---- shared machinery ------------------------------------------------
 
-    def _apply_g(self, g_params, g_extra, batch, rng, train):
-        variables = {"params": g_params, **(g_extra or {})}
-        mutable = [k for k in (g_extra or {})]
-        fakes = self.generator_forward_variables(variables, batch, rng, train, mutable)
-        return fakes
-
     def _apply_d(self, d_params, d_extra, x, train):
         variables = {"params": d_params, **(d_extra or {})}
         if d_extra:
