@@ -94,6 +94,11 @@ def roi_align(
             "adaptive sampling_ratio (0) is data-dependent and unsupported "
             "under jit; the reference uses sampling_ratio=1"
         )
+    if implementation == "pallas" and sampling_ratio != 1:
+        raise ValueError(
+            "the Pallas kernel implements sampling_ratio=1 only (the "
+            "reference config); use implementation='xla' for other ratios"
+        )
     use_pallas = implementation == "pallas" or (
         implementation == "auto"
         and sampling_ratio == 1
@@ -114,8 +119,11 @@ def _roi_align_xla(
 ) -> jax.Array:
     B, H, W, C = features.shape
     out_h, out_w = output_size
+    out_dtype = dtype if dtype is not None else features.dtype
 
-    rois = rois.astype(jnp.float32) * spatial_scale
+    # no gradient w.r.t. ROI coordinates — matches torchvision and keeps
+    # the XLA and Pallas paths' differentiation semantics identical
+    rois = jax.lax.stop_gradient(rois).astype(jnp.float32) * spatial_scale
     x1, y1, x2, y2 = (rois[..., k] for k in range(4))
     roi_w = jnp.maximum(x2 - x1, 1.0)
     roi_h = jnp.maximum(y2 - y1, 1.0)
@@ -128,7 +136,9 @@ def _roi_align_xla(
 
     # Two batched matmuls on the MXU; XLA fuses the intermediate.
     tmp = jnp.einsum("brih,bhwc->briwc", wy, features)
-    return jnp.einsum("briwc,brjw->brijc", tmp, wx)
+    out = jnp.einsum("briwc,brjw->brijc", tmp, wx)
+    # keep output dtype identical across the XLA and Pallas paths
+    return out.astype(out_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

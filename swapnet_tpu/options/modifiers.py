@@ -60,6 +60,10 @@ def base_gan_modifier(parser: ArgumentParser, is_train: bool) -> ArgumentParser:
                             help="reproduce the reference bug where smooth FAKE "
                                  "labels are drawn from the REAL range "
                                  "(reference modules/loss.py:101-102)")
+        parser.add_argument("--compat_no_wgan_clamp", action="store_true",
+                            help="reproduce the reference bug where the wgan "
+                                 "weight clamp is a no-op (non-inplace .clamp, "
+                                 "reference models/base_gan.py:210-213)")
         parser.add_argument("--compat_image_gram", action="store_true",
                             help="reproduce the reference bug where the style loss "
                                  "uses image grams instead of feature grams "

@@ -45,6 +45,7 @@ class BaseGANSystem:
         lambda_gan: float = 1.0,
         lambda_discriminator: float = 1.0,
         lambda_gp: float = 10.0,
+        wgan_clamp: bool = True,
     ):
         self.G = generator
         self.D = discriminator
@@ -55,7 +56,16 @@ class BaseGANSystem:
         self.lambda_discriminator = lambda_discriminator
         self.lambda_gp = lambda_gp
         self.gan_mode = gan_cfg.gan_mode
-        self.has_gp = any(m in self.gan_mode for m in ("gp", "lp"))
+        # plain "dragan" is penalty-defined too (losses/gan.py maps it to gp)
+        self.has_gp = (
+            any(m in self.gan_mode for m in ("gp", "lp")) or self.gan_mode == "dragan"
+        )
+        # NOTE the reference's wgan weight clamp is a silent no-op (it calls
+        # non-inplace `.clamp`, models/base_gan.py:210-213), so reference
+        # wgan training never constrains D.  We clamp for real by default;
+        # pass wgan_clamp=False (--compat_no_wgan_clamp) to reproduce the
+        # reference behavior for parity runs.
+        self.wgan_clamp = wgan_clamp
 
     # ---- model-specific hooks -------------------------------------------
 
@@ -148,9 +158,9 @@ class BaseGANSystem:
         d_params, d_opt_state, d_extra = state.d_params, state.d_opt_state, state.d_extra
 
         if self.D is not None:
-            # wgan clamps D weights to a cube before the update
-            # (reference models/base_gan.py:210-213)
-            if self.gan_mode == "wgan":
+            # wgan clamps D weights to a cube before the update (see
+            # __init__ note: the reference's version of this is a no-op bug)
+            if self.gan_mode == "wgan" and self.wgan_clamp:
                 d_params = jax.tree.map(lambda p: jnp.clip(p, -0.01, 0.01), d_params)
 
             targets = self.targets(batch)
@@ -182,17 +192,20 @@ class BaseGANSystem:
             extra = self.extra_g_losses(fakes_, batch, r_extra, state.frozen)
             loss = sum(extra.values(), jnp.float32(0.0))
             aux = dict(extra)
+            new_d_extra = d_extra
             if self.D is not None and self.lambda_gan:
-                pred, _ = self._apply_d(
+                # keep this pass's batch-stats update too: torch train-mode
+                # BN updates running stats on all three D forwards per step
+                pred, new_d_extra = self._apply_d(
                     d_params, d_extra, self.d_condition(batch, fakes_), True
                 )
                 loss_gan = gan_loss(pred, True, self.gan_cfg, r_glabel) * self.lambda_gan
                 loss = loss + loss_gan
                 aux["loss_G_gan"] = loss_gan
             aux["loss_G"] = loss
-            return loss, aux
+            return loss, (aux, new_d_extra)
 
-        (g_loss, g_aux), fakes_grad = jax.value_and_grad(
+        (g_loss, (g_aux, d_extra)), fakes_grad = jax.value_and_grad(
             g_loss_from_fakes, has_aux=True
         )(fakes)
         (g_grads,) = g_vjp((fakes_grad, jax.tree.map(jnp.zeros_like, new_g_extra)))

@@ -79,6 +79,7 @@ def create_system(opt, vgg_variables=None):
             lambda_gan=getattr(opt, "lambda_gan", 1.0),
             lambda_discriminator=getattr(opt, "lambda_discriminator", 1.0),
             lambda_gp=getattr(opt, "lambda_gp", 10.0),
+            wgan_clamp=not getattr(opt, "compat_no_wgan_clamp", False),
             **common,
         )
     if name == "texture":
@@ -102,6 +103,7 @@ def create_system(opt, vgg_variables=None):
             lambda_gan=getattr(opt, "lambda_gan", 1.0),
             lambda_discriminator=getattr(opt, "lambda_discriminator", 1.0),
             lambda_gp=getattr(opt, "lambda_gp", 10.0),
+            wgan_clamp=not getattr(opt, "compat_no_wgan_clamp", False),
             is_train=is_train,
             compat_image_gram=getattr(opt, "compat_image_gram", False),
             **common,

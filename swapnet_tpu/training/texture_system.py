@@ -64,6 +64,7 @@ class TextureSystem(BaseGANSystem):
         lambda_gan: float = 1.0,
         lambda_discriminator: float = 1.0,
         lambda_gp: float = 10.0,
+        wgan_clamp: bool = True,
         is_train: bool = True,
         compat_image_gram: bool = False,
     ):
@@ -94,7 +95,7 @@ class TextureSystem(BaseGANSystem):
             )
         super().__init__(
             generator, D, gan_cfg, g_opt, d_opt,
-            lambda_gan, lambda_discriminator, lambda_gp,
+            lambda_gan, lambda_discriminator, lambda_gp, wgan_clamp,
         )
         self.netG = netG
         self.lambda_l1 = lambda_l1

@@ -48,6 +48,7 @@ class WarpSystem(BaseGANSystem):
         lambda_gan: float = 1.0,
         lambda_discriminator: float = 1.0,
         lambda_gp: float = 10.0,
+        wgan_clamp: bool = True,
     ):
         generator = WarpModule(
             body_channels=body_channels,
@@ -64,7 +65,7 @@ class WarpSystem(BaseGANSystem):
             )
         super().__init__(
             generator, D, gan_cfg, g_opt, d_opt,
-            lambda_gan, lambda_discriminator, lambda_gp,
+            lambda_gan, lambda_discriminator, lambda_gp, wgan_clamp,
         )
         self.warp_mode = warp_mode
         self.lambda_ce = lambda_ce

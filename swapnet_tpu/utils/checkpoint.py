@@ -100,13 +100,13 @@ def load_checkpoint(state: GANTrainState, ckpt_dir: str, label) -> GANTrainState
 def load_generator_weights(ckpt_dir: str, label, g_params_template, g_extra_template=None):
     """Generator-only restore for inference (reference load_model_weights)."""
     path = os.path.join(ckpt_dir, f"{label}_net_generator.msgpack")
-    # torch checkpoint? port it instead
+    # torch checkpoint? port it instead (params AND batch-norm stats)
     if not os.path.exists(path):
         pth = os.path.join(ckpt_dir, f"{label}_net_generator.pth")
         if os.path.exists(pth):
             from swapnet_tpu.utils import porter
 
-            return porter.port_generator_pth(pth, g_params_template), g_extra_template
+            return porter.port_generator_pth(pth, g_params_template, g_extra_template)
         raise FileNotFoundError(path)
     g_params = _read(path, g_params_template)
     g_extra = g_extra_template

@@ -192,13 +192,14 @@ def port_texture_module(sd: Dict, num_downs: int = 7):
 def port_nlayer_discriminator(sd: Dict, n_layers: int = 3, norm: str = "instance"):
     """torch NLayerDiscriminator -> (flax params, batch_stats)."""
     params, batch_stats = {}, {}
-    # torch Sequential indices of the convs
+    # torch Sequential indices of the convs; every block is
+    # [conv, norm, lrelu] for both norm types (instance norm just has no
+    # params at its index)
     idxs = [0]
     idx = 2  # after first conv + lrelu
-    per_block = 3 if norm == "instance" else 3  # conv, norm, lrelu
     for n in range(1, n_layers + 1):
         idxs.append(idx)
-        idx += per_block
+        idx += 3
     idxs.append(idx)  # final 1-channel conv
     conv_i = 0
     norm_i = 0
@@ -225,19 +226,34 @@ def port_nlayer_discriminator(sd: Dict, n_layers: int = 3, norm: str = "instance
 # ---------------------------------------------------------------------------
 
 
-def port_generator_pth(path: str, template):
-    """Best-effort port of a reference generator .pth by sniffing its keys."""
+def port_generator_pth(path: str, template, extra_template=None):
+    """Best-effort port of a reference generator .pth by sniffing its keys.
+
+    Returns (params, extra) where extra carries the ported BatchNorm
+    running stats as {"batch_stats": ...} (or the passed template /
+    empty dict when the net has none) — dropping them would load
+    batch-norm generators with fresh mean=0/var=1 stats and break
+    eval parity.
+    """
     sd = load_pth(path)
     keys = set(sd.keys())
+    stats = {}
     if any(k.startswith("body_down1") for k in keys):
         ported = port_warp_module(sd)
     elif any(k.startswith("encode.") for k in keys):
         num_downs = _sniff_num_downs(keys, "unet.model")
-        ported, _ = port_texture_module(sd, num_downs)
+        ported, stats = port_texture_module(sd, num_downs)
     else:
         num_downs = _sniff_num_downs(keys, "model")
-        ported, _ = port_unet_generator(sd, num_downs)
-    return _cast_like(ported, template)
+        ported, stats = port_unet_generator(sd, num_downs)
+
+    params = _cast_like(ported, template)
+    if stats:
+        stats_template = (extra_template or {}).get("batch_stats")
+        extra = {"batch_stats": _cast_like(stats, stats_template)}
+    else:
+        extra = extra_template or {}
+    return params, extra
 
 
 def _sniff_num_downs(keys, prefix: str) -> int:

@@ -119,6 +119,39 @@ def test_warp_module_parity():
     )
 
 
+def test_port_generator_pth_keeps_batch_stats(tmp_path):
+    """Regression: .pth porting must carry BatchNorm running stats, not
+    load fresh mean=0/var=1 (review finding)."""
+    torch.manual_seed(4)
+    tmod = TorchUnetGenerator(
+        5, 3, 5, ngf=8, norm_layer=get_norm_layer("batch"), use_dropout=False
+    )
+    with torch.no_grad():
+        for _ in range(3):
+            tmod(torch.randn(4, 5, 32, 32))
+    tmod = tmod.eval()
+    pth = tmp_path / "latest_net_generator.pth"
+    torch.save(tmod.state_dict(), pth)
+
+    from swapnet_tpu.utils.porter import port_generator_pth
+
+    ours_mod = UnetGenerator(output_nc=3, num_downs=5, ngf=8, norm_type="batch")
+    x = np.random.RandomState(4).randn(2, 32, 32, 5).astype(np.float32)
+    template = ours_mod.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+        jnp.asarray(x), False,
+    )
+    params, extra = port_generator_pth(
+        str(pth), template["params"],
+        {k: v for k, v in template.items() if k != "params"},
+    )
+    assert "batch_stats" in extra and extra["batch_stats"], "stats must port"
+    ours = ours_mod.apply({"params": params, **extra}, jnp.asarray(x), False)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(to_nchw(x)))
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(ref.numpy()), atol=2e-4)
+
+
 def test_nlayer_discriminator_parity():
     torch.manual_seed(3)
     tmod = TorchNLayerD(
