@@ -123,6 +123,28 @@ def test_two_stage_inference(checkpoints, dataroot, tmp_path_factory):
     assert len([i for i in images if i.endswith("_fakes.png")]) == N_ITEMS
 
 
+def test_texture_only_inference(checkpoints, dataroot, tmp_path_factory):
+    """Single-stage path: --texture_checkpoint without the warp stage
+    consumes the user-specified cloth dir directly (reference
+    inference.py:169-180)."""
+    results = tmp_path_factory.mktemp("results_tex_only")
+    opt = TestOptions().parse(
+        print_options=False, store_options=False,
+        args=[
+            "--texture_checkpoint",
+            str(checkpoints / "texture" / "latest_net_generator.msgpack"),
+            "--dataroot", str(dataroot),
+            "--results_dir", str(results),
+            "--batch_size", "2",
+        ],
+    )
+    inference_main(opt)
+    assert not (results / "warp").exists()
+    assert (results / "texture" / "index.html").exists()
+    images = os.listdir(results / "texture" / "images")
+    assert len([i for i in images if i.endswith("_fakes.png")]) == N_ITEMS
+
+
 def test_continue_train(checkpoints, dataroot):
     opt = TrainOptions().parse(
         print_options=False, store_options=False,
