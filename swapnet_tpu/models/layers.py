@@ -30,13 +30,25 @@ Dtype = Any
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """InstanceNorm2d(affine=False, track_running_stats=False) on NHWC.
 
-    Statistics are computed in float32 regardless of compute dtype.
+    Statistics accumulate in float32 regardless of compute dtype.  For
+    low-precision activations the elementwise math stays in the compute
+    dtype (only the reductions run f32): upcasting the whole tensor would
+    double the activation bytes through every norm on an HBM-bound step.
+    float32 inputs keep the exact two-pass f32 path for parity tests.
     """
-    dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps)
+    # two-pass with f32 accumulation; the only materialized tensors stay
+    # in the compute dtype (casts fuse into the reductions)
+    mean32 = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    centered = x - mean32.astype(x.dtype)
+    var32 = jnp.mean(
+        jnp.square(centered.astype(jnp.float32)), axis=(1, 2), keepdims=True,
+        dtype=jnp.float32,
+    )
+    return centered * jax.lax.rsqrt(var32 + eps).astype(x.dtype)
 
 
 def leaky_relu(x: jax.Array, slope: float = 0.2) -> jax.Array:

@@ -23,6 +23,11 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compile cache: repeated suite runs skip minutes of XLA compiles
+from swapnet_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/swapnet_tpu_xla_tests"))
+
 
 def pytest_configure(config):
     assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
