@@ -1,0 +1,56 @@
+"""Evaluation entry point: score a trained generator (L1/PSNR/SSIM).
+
+Example:
+    python evaluate.py --checkpoint checkpoints --dataroot data/deep_fashion
+    python evaluate.py --texture_checkpoint checkpoints/texture/latest_net_generator.msgpack \\
+        --dataroot data/deep_fashion
+
+Prints one JSON line per evaluated stage.  No counterpart exists in the
+reference (it has no quantitative evaluation); flags mirror inference.py.
+"""
+
+import json
+import os
+
+from swapnet_tpu.evaluation import evaluate_system
+from swapnet_tpu.inference import _rebuild_from_checkpoint
+from swapnet_tpu.options import TestOptions
+from swapnet_tpu.utils.cache import enable_compilation_cache
+
+
+def main(opt):
+    if opt.checkpoint:
+        if not opt.warp_checkpoint:
+            opt.warp_checkpoint = os.path.join(
+                opt.checkpoint, "warp", f"{opt.load_epoch}_net_generator.msgpack"
+            )
+        if not opt.texture_checkpoint:
+            opt.texture_checkpoint = os.path.join(
+                opt.checkpoint, "texture", f"{opt.load_epoch}_net_generator.msgpack"
+            )
+    for subdir in ("body", "cloth", "texture"):
+        attribute = f"{subdir}_dir"
+        if not getattr(opt, attribute) and opt.dataroot:
+            setattr(opt, attribute, os.path.join(opt.dataroot, subdir))
+
+    for stage, ckpt_file in (("warp", opt.warp_checkpoint),
+                             ("texture", opt.texture_checkpoint)):
+        if not ckpt_file or not os.path.exists(ckpt_file):
+            continue
+        kwargs = (
+            {"cloth_dir": opt.cloth_dir, "body_dir": opt.body_dir}
+            if stage == "warp"
+            else {"texture_dir": opt.texture_dir, "cloth_dir": opt.cloth_dir}
+        )
+        system, state, loaded_opt, dataset, loader, preprocess = (
+            _rebuild_from_checkpoint(opt, ckpt_file, **kwargs)
+        )
+        metrics = evaluate_system(system, state, loader, preprocess)
+        print(json.dumps({"stage": stage, **{k: round(v, 5) for k, v in metrics.items()}}))
+
+
+if __name__ == "__main__":
+    enable_compilation_cache()
+    config = TestOptions()
+    config.parse(store_options=False, print_options=False)
+    main(config.opt)
