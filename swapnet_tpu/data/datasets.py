@@ -114,6 +114,11 @@ class TextureDataset:
         self.is_train = opt.is_train
         self.texture_dir = texture_dir or os.path.join(opt.dataroot, "texture")
         self.texture_files = find_valid_files(self.texture_dir, IMG_EXTENSIONS)
+        if not opt.shuffle_data:
+            # index-paired with the sorted cloth_files at inference; unsorted
+            # os.walk order would pair cloth/texture nondeterministically
+            # (latent reference bug: it never sorts texture_files)
+            self.texture_files.sort()
 
         self.texture_norm_stats = get_norm_stats(
             os.path.dirname(self.texture_dir), "texture"

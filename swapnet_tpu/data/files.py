@@ -28,8 +28,10 @@ def find_valid_files(
         extensions = [extensions]
     assert os.path.isdir(dir), f"{dir} is not a valid directory"
     files = []
+    # sort fnames too: os.walk yields readdir (hash) order, which would make
+    # index-paired datasets nondeterministic across machines/runs
     for root, _, fnames in sorted(os.walk(dir, followlinks=True)):
-        for fname in fnames:
+        for fname in sorted(fnames):
             if in_extensions(fname, extensions if extensions else IMG_EXTENSIONS):
                 files.append(os.path.join(root, fname))
     return files[: int(min(max_dataset_size, len(files)))]

@@ -4,8 +4,10 @@ The reference leans on torch's C++ DataLoader (4 worker processes,
 datasets/__init__.py:69-74).  Here:
 
   * a thread pool decodes items concurrently (PIL/zlib release the GIL),
-  * batches are collated to numpy and handed to ``device_put`` so the
-    host->HBM copy of batch N+1 overlaps step N (double buffering),
+  * a bounded queue prefetches collated numpy batches ahead of the
+    consumer; the consumer's ``jax.device_put`` dispatches the host->HBM
+    copy asynchronously, so batch N+1's decode and transfer overlap
+    step N's compute,
   * ``max_dataset_size`` capping matches CappedDataLoader semantics.
 
 An optional native C++ decode path can plug in behind the same interface.
@@ -15,10 +17,15 @@ from __future__ import annotations
 
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from queue import Queue
+from queue import Empty, Full, Queue
 from typing import Callable, Iterator, Optional
 
 import numpy as np
+
+
+def array_part(batch):
+    """The device-shippable (numpy) fields of a collated batch."""
+    return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
 
 
 def default_collate(items):
@@ -92,61 +99,52 @@ class DataLoader:
 
         q: Queue = Queue(maxsize=self.prefetch_batches)
         sentinel = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone —
+            otherwise an abandoned iterator (e.g. next(iter(loader)) for a
+            shape probe) leaks a thread blocked on q.put forever."""
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idxs in batches:
+                        if abandoned.is_set():
+                            return
                         items = list(pool.map(self.dataset.__getitem__, idxs))
-                        q.put(self.collate(items))
+                        if not put(self.collate(items)):
+                            return
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
 
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-
-
-def device_prefetch(iterator, sharding=None, size: int = 2):
-    """Move batches to device ahead of consumption (double buffering).
-
-    Non-array fields (paths) pass through on host.
-    """
-    import jax
-
-    def put(batch):
-        out = {}
-        for k, v in batch.items():
-            if isinstance(v, np.ndarray):
-                out[k] = jax.device_put(v, sharding) if sharding is not None else jnp_put(v)
-            else:
-                out[k] = v
-        return out
-
-    def jnp_put(v):
-        import jax
-
-        return jax.device_put(v)
-
-    buf = []
-    it = iter(iterator)
-    try:
-        for _ in range(size):
-            buf.append(put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        yield buf.pop(0)
         try:
-            buf.append(put(next(it)))
-        except StopIteration:
-            continue
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # generator closed or exhausted: release the producer
+            abandoned.set()
+            while True:  # drain so a blocked put can finish
+                try:
+                    q.get_nowait()
+                except Empty:
+                    break
+
+

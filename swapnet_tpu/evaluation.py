@@ -41,11 +41,12 @@ def evaluate_system(system, state, loader, preprocess) -> Dict[str, float]:
     metric_fn = jax.jit(batch_metrics)
     eval_fn = jax.jit(system.eval_step)
 
+    from swapnet_tpu.data.loader import array_part
+
     sums: Dict[str, float] = {}
     weight = 0
     for batch in loader:
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        model_batch = preprocess(None, arrays)
+        model_batch = preprocess(None, array_part(batch))
         fakes = eval_fn(state, model_batch)
         targets = system.targets(model_batch)
         m = metric_fn(fakes, targets)

@@ -89,9 +89,10 @@ def _rebuild_from_checkpoint(opt, checkpoint_file, same_crop_load_size=False, **
     preprocess = create_preprocessor(loaded_opt, dataset)
 
     # init a params template from the first batch, then restore weights
+    from swapnet_tpu.data.loader import array_part
+
     first = next(iter(loader))
-    arrays = {k: v for k, v in first.items() if isinstance(v, np.ndarray)}
-    model_batch = preprocess(None, arrays)
+    model_batch = preprocess(None, array_part(first))
     state = system.init_state(jax.random.key(0), model_batch)
     label = _label_from_checkpoint(checkpoint_file)
     g_params, g_extra = ckpt.load_generator_weights(
@@ -110,11 +111,12 @@ def _run_test_loop(
     forward = jax.jit(system.eval_step)
     total = loader.num_batches()
     done = 0
+    from swapnet_tpu.data.loader import array_part
+
     for i, batch in enumerate(loader):
         if i >= total:
             break
-        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-        model_batch = preprocess(None, arrays)
+        model_batch = preprocess(None, array_part(batch))
         fakes = np.asarray(forward(state, model_batch))
 
         if "cloth_paths" in batch and "body_paths" in batch:

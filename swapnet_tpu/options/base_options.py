@@ -25,6 +25,16 @@ from swapnet_tpu.options.modifiers import (
 )
 
 
+def _str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "y"):
+        return True
+    if v.lower() in ("false", "0", "no", "n", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 class BaseOptions:
     def __init__(self):
         parser = argparse.ArgumentParser(
@@ -85,7 +95,9 @@ class BaseOptions:
                             help="cap on data")
         parser.add_argument("--batch_size", type=int, default=8,
                             help="batch size to load data")
-        parser.add_argument("--shuffle_data", default=True, type=bool,
+        # NOTE the reference uses type=bool here, which parses ANY string
+        # (including "False") as True; we parse real booleans.
+        parser.add_argument("--shuffle_data", default=True, type=_str2bool,
                             help="whether to shuffle dataset (default is True)")
         parser.add_argument("--num_workers", default=4, type=int,
                             help="number of CPU threads for data loading")
@@ -142,6 +154,7 @@ class BaseOptions:
 
         if opt.config_file:
             self.load(opt.config_file, user_overrides)
+            opt = self.opt  # load() rebinds self.opt to the merged namespace
 
         if print_options:
             self.print()
@@ -178,8 +191,11 @@ def load_options(opt, json_file, user_overrides=True):
 
     user_args = set()
     if user_overrides:
+        # handle both "--key value" and "--key=value" CLI syntaxes
         user_args = {
-            a.lstrip("-") for a in sys.argv[1:] if a.startswith("--")
+            a.lstrip("-").split("=", 1)[0]
+            for a in sys.argv[1:]
+            if a.startswith("--")
         }
 
     for k, v in args.items():

@@ -32,8 +32,7 @@ from swapnet_tpu.utils import checkpoint as ckpt
 from swapnet_tpu.utils.visualizer import Visualizer
 
 
-def _array_part(batch):
-    return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+from swapnet_tpu.data.loader import array_part as _array_part  # noqa: E402
 
 
 class AsyncCheckpointer:
@@ -112,10 +111,17 @@ def train(opt):
             box, step_fn, saver, data_sh, profile_dir, profile_steps,
         )
     except KeyboardInterrupt:
-        # graceful preemption: persist the latest state before exiting
+        # graceful preemption: persist the latest state before exiting.
+        # If the interrupt landed between dispatching a donated step and
+        # rebinding box["state"], the buffers may already be consumed —
+        # degrade to a warning rather than masking the interrupt.
         print("interrupted — saving latest checkpoint")
         saver.wait()
-        ckpt.save_checkpoint(box["state"], ckpt_dir, "latest")
+        try:
+            ckpt.save_checkpoint(box["state"], ckpt_dir, "latest")
+        except RuntimeError as e:
+            print(f"could not save interrupt checkpoint ({e}); "
+                  "state buffers were in flight")
         raise
 
     saver.wait()
@@ -127,6 +133,8 @@ def _train_epochs(
     box, step_fn, saver, data_sh, profile_dir, profile_steps,
 ):
     state, rng = box["state"], box["rng"]
+    eval_fn = jax.jit(system.eval_step)  # display path must not run eagerly
+    profiling = False
     total_iters = 0
     for epoch in range(opt.start_epoch + 1, opt.n_epochs + 1):
         epoch_iter = 0
@@ -138,8 +146,13 @@ def _train_epochs(
             total_iters += opt.batch_size
             epoch_iter += opt.batch_size
 
-            if profile_dir and total_iters == profile_steps * opt.batch_size:
+            if (
+                profile_dir and not profiling
+                and total_iters >= max(profile_steps, 1) * opt.batch_size
+            ):
                 jax.profiler.start_trace(profile_dir)
+                profiling = True
+                profile_stop_at = total_iters + 3 * opt.batch_size
             arrays = {
                 k: jax.device_put(v, data_sh) for k, v in _array_part(batch).items()
             }
@@ -147,10 +160,12 @@ def _train_epochs(
             model_batch = preprocess(r_pre, arrays)
             state, metrics = step_fn(state, model_batch)
             box["state"], box["rng"] = state, rng
-            if profile_dir and total_iters == (profile_steps + 3) * opt.batch_size:
+            if profiling and total_iters >= profile_stop_at:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
-                print(f"profiler trace written to {profile_dir}")
+                profiling = False
+                profile_dir = None  # one trace per run
+                print("profiler trace written")
 
             if total_iters % opt.print_freq == 0:
                 # fetch (sync point) only at print boundaries
@@ -162,7 +177,7 @@ def _train_epochs(
 
             if total_iters % opt.display_freq == 0:
                 save_result = total_iters % opt.update_html_freq == 0
-                fakes = system.eval_step(state, model_batch)
+                fakes = eval_fn(state, model_batch)
                 visuals = compute_visuals(opt, jax.device_get(model_batch), np.asarray(fakes))
                 visualizer.display_current_results(visuals, epoch, save_result)
 
@@ -182,5 +197,8 @@ def _train_epochs(
             ckpt.save_checkpoint(state, ckpt_dir, "latest")
             ckpt.save_checkpoint(state, ckpt_dir, epoch)
 
+    if profiling:  # run ended before the stop step
+        jax.profiler.stop_trace()
+        print("profiler trace written")
     saver.wait()
     return state
