@@ -19,12 +19,12 @@ import jax.numpy as jnp
 
 from swapnet_tpu.data.codec import labels_to_onehot
 from swapnet_tpu.data.transforms import (
-    center_crop_bounds,
     crop_rois,
     crop_tensors,
     normalize,
     per_channel_random_warp,
     random_image_roi_flip,
+    resolve_crop_bounds,
 )
 
 
@@ -39,6 +39,9 @@ class WarpPipelineConfig:
     input_transforms: Sequence[str] = ("hflip", "vflip", "affine", "perspective")
     per_channel_transform: bool = True
     train: bool = True
+    # explicit ((xmin,ymin),(xmax,ymax)); only active when crop_size >=
+    # load_size (reference base_dataset.py:51-58)
+    crop_bounds: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
 
 def prepare_warp_batch(cfg: WarpPipelineConfig, rng: Optional[jax.Array], batch):
@@ -54,7 +57,7 @@ def prepare_warp_batch(cfg: WarpPipelineConfig, rng: Optional[jax.Array], batch)
         else:
             raise NotImplementedError("per_channel_transform must be true")
 
-    bounds = center_crop_bounds(cfg.load_size, cfg.crop_size)
+    bounds = resolve_crop_bounds(cfg.load_size, cfg.crop_size, cfg.crop_bounds)
     if bounds is not None:
         bodys = crop_tensors(bodys, bounds)
         inputs = crop_tensors(inputs, bounds)
@@ -76,6 +79,7 @@ class TexturePipelineConfig:
     )
     input_transforms: Sequence[str] = ("hflip", "vflip")
     train: bool = True
+    crop_bounds: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
 
 def prepare_texture_batch(cfg: TexturePipelineConfig, rng: Optional[jax.Array], batch):
@@ -95,7 +99,7 @@ def prepare_texture_batch(cfg: TexturePipelineConfig, rng: Optional[jax.Array], 
         vp = 0.5 if any(t in cfg.input_transforms for t in ("vflip", "all")) else 0.0
         inputs, rois = random_image_roi_flip(rng, targets, rois, vp=vp, hp=hp)
 
-    bounds = center_crop_bounds(cfg.load_size, cfg.crop_size)
+    bounds = resolve_crop_bounds(cfg.load_size, cfg.crop_size, cfg.crop_bounds)
     if bounds is not None:
         inputs = crop_tensors(inputs, bounds)
         targets = crop_tensors(targets, bounds)

@@ -268,6 +268,44 @@ def center_crop_bounds(load_size: int, crop_size: int):
     return None
 
 
+def parse_crop_bounds(value):
+    """Parse a ``--crop_bounds`` value into ((xmin,ymin),(xmax,ymax)).
+
+    The reference evals the raw CLI string (base_dataset.py:57); here it's
+    ast.literal_eval (no code execution) and accepts an already-structured
+    tuple/list (e.g. round-tripped through args.json).  Returns None for
+    falsy input; raises ValueError on malformed bounds.
+    """
+    if not value:
+        return None
+    if isinstance(value, str):
+        import ast
+
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError) as e:
+            raise ValueError(f"malformed --crop_bounds {value!r}") from e
+    try:
+        (x_min, y_min), (x_max, y_max) = value
+        bounds = (int(x_min), int(y_min)), (int(x_max), int(y_max))
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"--crop_bounds must be ((xmin, ymin), (xmax, ymax)), got {value!r}"
+        ) from e
+    if bounds[0][0] >= bounds[1][0] or bounds[0][1] >= bounds[1][1]:
+        raise ValueError(f"--crop_bounds min must be < max, got {bounds}")
+    return bounds
+
+
+def resolve_crop_bounds(load_size: int, crop_size: int, crop_bounds=None):
+    """Reference precedence (base_dataset.py:51-58): a center crop derived
+    from crop_size < load_size wins; otherwise explicit crop_bounds."""
+    centered = center_crop_bounds(load_size, crop_size)
+    if centered is not None:
+        return centered
+    return parse_crop_bounds(crop_bounds)
+
+
 def crop_tensors(x: jax.Array, crop_bounds) -> jax.Array:
     """Crop NHWC tensors to ((x_min, y_min), (x_max, y_max))."""
     (x_min, y_min), (x_max, y_max) = crop_bounds

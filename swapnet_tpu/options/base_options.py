@@ -18,6 +18,7 @@ import json
 import os
 import sys
 
+from swapnet_tpu.utils.misc import PromptOnce
 from swapnet_tpu.options.modifiers import (
     DATASET_MODIFIERS,
     MODEL_MODIFIERS,
@@ -82,7 +83,9 @@ class BaseOptions:
         parser.add_argument("--texture_channels", default=3, type=int,
                             help="RGB textured image number of channels")
         parser.add_argument("--pad", action="store_true",
-                            help="add a padding to make image square")
+                            help="add a padding to make image square "
+                                 "(accepted for CLI parity; unused here AND "
+                                 "in the reference — no code reads it)")
         parser.add_argument("--load_size", default=128, type=int,
                             help="scale images (after padding) to this size")
         parser.add_argument("--crop_size", type=int, default=128,
@@ -144,6 +147,21 @@ class BaseOptions:
         assert opt.crop_size <= opt.load_size, (
             "Crop size must be less than or equal to load size "
         )
+        if getattr(opt, "crop_bounds", None):
+            # reference precedence silently ignores crop_bounds when a
+            # center crop is derived from crop_size < load_size
+            # (base_dataset.py:51-58); reject the conflict instead
+            assert opt.crop_size >= opt.load_size, (
+                "--crop_bounds conflicts with --crop_size < --load_size "
+                "(the center crop would win); drop one of them"
+            )
+            from swapnet_tpu.data.transforms import parse_crop_bounds
+
+            (x_min, y_min), (x_max, y_max) = parse_crop_bounds(opt.crop_bounds)
+            assert x_max <= opt.load_size and y_max <= opt.load_size, (
+                f"--crop_bounds {opt.crop_bounds} exceeds --load_size "
+                f"{opt.load_size}"
+            )
 
     def parse(self, print_options=True, store_options=True, user_overrides=True,
               args=None):
@@ -174,7 +192,11 @@ class BaseOptions:
 
     def save(self):
         d = {k: v for k, v in vars(self.opt).items()}
-        os.makedirs(os.path.dirname(self.save_file), exist_ok=True)
+        # overwrite guard, matching reference base_options.py:255
+        PromptOnce.makedirs(
+            os.path.dirname(self.save_file),
+            prompt=not getattr(self.opt, "no_confirm", False),
+        )
         with open(self.save_file, "w") as f:
             f.write(json.dumps(d, indent=4, default=str))
 

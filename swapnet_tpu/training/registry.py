@@ -144,13 +144,17 @@ def create_dataset(opt, **ds_kwargs):
 
 def create_preprocessor(opt, dataset):
     """Jitted device-side batch preparation for the model named by opt."""
+    from swapnet_tpu.data.transforms import parse_crop_bounds
+
     name = opt.dataset or opt.model
     is_train = getattr(opt, "is_train", True)
+    crop_bounds = parse_crop_bounds(getattr(opt, "crop_bounds", None))
     if name == "warp":
         cfg = WarpPipelineConfig(
             cloth_channels=opt.cloth_channels,
             load_size=opt.load_size,
             crop_size=opt.crop_size,
+            crop_bounds=crop_bounds,
             body_norm_stats=tuple(map(tuple, dataset.body_norm_stats)),
             input_transforms=tuple(
                 [opt.input_transforms]
@@ -165,6 +169,7 @@ def create_preprocessor(opt, dataset):
         cloth_channels=opt.cloth_channels,
         load_size=opt.load_size,
         crop_size=opt.crop_size,
+        crop_bounds=crop_bounds,
         texture_norm_stats=tuple(map(tuple, dataset.texture_norm_stats)),
         input_transforms=tuple(
             [opt.input_transforms]

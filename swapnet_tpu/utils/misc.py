@@ -34,8 +34,8 @@ class PromptOnce:
                     f"\n'{path}' already exists and is not empty. Overwrite contents? "
                     "y/N: "
                 )
-            except EOFError:  # non-interactive: proceed like --no_confirm
-                return
+            except (EOFError, OSError):  # non-interactive (incl. pytest's
+                return                   # captured stdin): like --no_confirm
             if a.strip().lower() not in ("y", "yes"):
                 print("Exiting.")
                 raise SystemExit(1)

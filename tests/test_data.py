@@ -145,3 +145,57 @@ def test_center_crop_and_rois():
     rois = jnp.asarray([[[0.0, 0.0, 127.0, 127.0]]])
     out = np.asarray(crop_rois(rois, bounds))
     np.testing.assert_allclose(out, [[[0.0, 0.0, 63.0, 63.0]]])
+
+
+def test_parse_and_resolve_crop_bounds():
+    from swapnet_tpu.data.transforms import parse_crop_bounds, resolve_crop_bounds
+
+    assert parse_crop_bounds(None) is None
+    assert parse_crop_bounds("((8, 4), (120, 100))") == ((8, 4), (120, 100))
+    assert parse_crop_bounds([[8, 4], [120, 100]]) == ((8, 4), (120, 100))
+    with pytest.raises(ValueError):
+        parse_crop_bounds("((10, 10), (5, 20))")  # min >= max
+    with pytest.raises(ValueError):
+        parse_crop_bounds("garbage")
+    # center crop from crop_size < load_size wins (reference
+    # base_dataset.py:51-58); explicit bounds apply otherwise
+    assert resolve_crop_bounds(128, 64, "((0, 0), (10, 10))") == ((32, 32), (96, 96))
+    assert resolve_crop_bounds(128, 128, "((8, 4), (120, 100))") == ((8, 4), (120, 100))
+    assert resolve_crop_bounds(128, 128, None) is None
+
+
+def test_pipelines_apply_explicit_crop_bounds():
+    """--crop_bounds wired through both device pipelines, ROIs in lockstep
+    (reference warp_dataset.py:168, texture_dataset.py:137-144)."""
+    from swapnet_tpu.data.pipelines import (
+        TexturePipelineConfig,
+        WarpPipelineConfig,
+        prepare_texture_batch,
+        prepare_warp_batch,
+    )
+
+    bounds = ((8, 4), (40, 28))
+    r = np.random.RandomState(0)
+    wcfg = WarpPipelineConfig(load_size=48, crop_size=48, crop_bounds=bounds,
+                              train=False)
+    wbatch = {
+        "bodys_u8": jnp.asarray(r.randint(0, 255, (2, 48, 48, 3), dtype=np.uint8)),
+        "input_labels": jnp.asarray(r.randint(0, 19, (2, 48, 48), dtype=np.int32)),
+        "target_labels": jnp.asarray(r.randint(0, 19, (2, 48, 48), dtype=np.int32)),
+    }
+    out = prepare_warp_batch(wcfg, None, wbatch)
+    assert out["bodys"].shape == (2, 24, 32, 3)  # H = 28-4, W = 40-8
+    assert out["input_cloths"].shape == (2, 24, 32, 19)
+
+    tcfg = TexturePipelineConfig(load_size=48, crop_size=48, crop_bounds=bounds,
+                                 train=False)
+    tbatch = {
+        "textures_u8": jnp.asarray(r.randint(0, 255, (2, 48, 48, 3), dtype=np.uint8)),
+        "rois": jnp.asarray(r.uniform(0, 47, (2, 12, 4)).astype(np.float32)),
+        "cloth_labels": jnp.asarray(r.randint(0, 19, (2, 48, 48), dtype=np.int32)),
+    }
+    tout = prepare_texture_batch(tcfg, None, tbatch)
+    assert tout["input_textures"].shape == (2, 24, 32, 3)
+    rois = np.asarray(tout["rois"])
+    assert rois[..., 0::2].max() <= 32 - 1 and rois[..., 1::2].max() <= 24 - 1
+    assert rois.min() >= 0

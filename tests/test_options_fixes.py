@@ -81,3 +81,27 @@ def test_abandoned_iterator_releases_producer():
     # producer stopped early: at most a few prefetched batches decoded
     assert ds.calls <= 12, ds.calls
     assert threading.active_count() < 10
+
+
+def test_crop_bounds_accepted_and_validated():
+    # valid: explicit bounds with crop_size == load_size
+    opt = TrainOptions().parse(
+        print_options=False, store_options=False,
+        args=["--model", "warp", "--dataroot", "/tmp/x",
+              "--crop_bounds", "((8, 8), (120, 120))"],
+    )
+    assert opt.crop_bounds == "((8, 8), (120, 120))"
+    # conflict: crop_bounds + center crop from crop_size < load_size
+    with pytest.raises(AssertionError):
+        TrainOptions().parse(
+            print_options=False, store_options=False,
+            args=["--model", "warp", "--dataroot", "/tmp/x",
+                  "--crop_size", "64", "--crop_bounds", "((8, 8), (60, 60))"],
+        )
+    # out of range
+    with pytest.raises(AssertionError):
+        TrainOptions().parse(
+            print_options=False, store_options=False,
+            args=["--model", "warp", "--dataroot", "/tmp/x",
+                  "--crop_bounds", "((8, 8), (200, 200))"],
+        )
