@@ -1,4 +1,11 @@
-"""Evaluation entry point: score a trained generator (L1/PSNR/SSIM).
+"""Evaluation entry point: stage-appropriate quality metrics.
+
+warp stage:    argmax pixel accuracy + mean IoU (segmentation metrics —
+               scoring tanh logits with image metrics would be
+               semantically wrong).
+texture stage: L1 / PSNR / SSIM + FID over pooled VGG16 features (see
+               swapnet_tpu/evaluation.py for the offline-Inception caveat;
+               pass --vgg_checkpoint for ported features).
 
 Example:
     python evaluate.py --checkpoint checkpoints --dataroot data/deep_fashion
@@ -12,7 +19,7 @@ reference (it has no quantitative evaluation); flags mirror inference.py.
 import json
 import os
 
-from swapnet_tpu.evaluation import evaluate_system
+from swapnet_tpu.evaluation import evaluate_system, make_vgg_feature_fn
 from swapnet_tpu.inference import _rebuild_from_checkpoint
 from swapnet_tpu.options import TestOptions
 from swapnet_tpu.utils.cache import enable_compilation_cache
@@ -45,7 +52,21 @@ def main(opt):
         system, state, loaded_opt, dataset, loader, preprocess = (
             _rebuild_from_checkpoint(opt, ckpt_file, **kwargs)
         )
-        metrics = evaluate_system(system, state, loader, preprocess)
+        if stage == "warp":
+            metrics = evaluate_system(
+                system, state, loader, preprocess, kind="segmentation"
+            )
+        else:
+            vgg_vars = None
+            if getattr(opt, "vgg_checkpoint", None):
+                from swapnet_tpu.models.vgg import load_torch_vgg16_features
+
+                vgg_vars = load_torch_vgg16_features(opt.vgg_checkpoint)
+            feature_fn = make_vgg_feature_fn(vgg_vars, loaded_opt.crop_size)
+            metrics = evaluate_system(
+                system, state, loader, preprocess, kind="image",
+                fid_feature_fn=feature_fn,
+            )
         print(json.dumps({"stage": stage, **{k: round(v, 5) for k, v in metrics.items()}}))
 
 
