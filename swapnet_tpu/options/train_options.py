@@ -26,7 +26,14 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--display_env", type=str, default="main",
                             help="(kept for CLI parity)")
         parser.add_argument("--display_port", type=int, default=8097,
-                            help="(kept for CLI parity)")
+                            help="port for --serve_dashboard (reference: "
+                                 "visdom port)")
+        parser.add_argument("--serve_dashboard", action="store_true",
+                            help="serve the run dir over HTTP so web/live.html "
+                                 "streams current batches + loss curves (the "
+                                 "visdom live-dashboard analog)")
+        parser.add_argument("--display_refresh_secs", type=int, default=5,
+                            help="auto-refresh interval of web/live.html")
         parser.add_argument("--update_html_freq", type=int, default=1000,
                             help="frequency of saving training results to html")
         parser.add_argument("--print_freq", type=int, default=100,

@@ -7,10 +7,11 @@ Channels kept from the reference:
     (visualizer.py:163-184) under {checkpoints_dir}/{name}/web/
   * save_images() galleries for inference results (visualizer.py:21-47)
 
-The visdom live-dashboard channel is intentionally not implemented (no
-server in the target environment); its CLI flags are accepted for
-compatibility.  A JSONL metrics file (metrics.jsonl) is added for
-programmatic consumption.
+The visdom live-dashboard channel (reference visualizer.py:103-209) is
+replaced by web/live.html — an auto-refreshing page of the CURRENT batch
+visuals + loss curves (utils/dashboard.py), optionally served over HTTP
+with --serve_dashboard at --display_port.  A JSONL metrics file
+(metrics.jsonl) is added for programmatic consumption.
 """
 
 from __future__ import annotations
@@ -47,6 +48,14 @@ class Visualizer:
             now = time.strftime("%c")
             f.write(f"================ Training Loss ({now}) ================\n")
 
+        self._dashboard_server = None
+        if self.use_html and getattr(opt, "serve_dashboard", False):
+            from swapnet_tpu.utils.dashboard import serve_directory
+
+            self._dashboard_server = serve_directory(
+                self.log_dir, getattr(opt, "display_port", 8097)
+            )
+
     def reset(self):
         self.saved = False
 
@@ -60,10 +69,20 @@ class Visualizer:
             if img.ndim == 4:
                 img = img[0]
             save_rgb(img, os.path.join(self.img_dir, f"epoch{epoch:03d}_{label}.png"))
+            # "latest" copies back the live page (stable filenames so the
+            # refreshing browser always sees the current batch)
+            save_rgb(img, os.path.join(self.img_dir, f"latest_{label}.png"))
         # regenerate the loss curve (the visdom line-plot replacement)
         from swapnet_tpu.utils.loss_plot import write_loss_plot
 
         write_loss_plot(self.log_dir)
+        from swapnet_tpu.utils.dashboard import read_last_metrics, write_live_page
+
+        write_live_page(
+            self.web_dir, self.name, list(visuals), epoch,
+            last_metrics=read_last_metrics(self.metrics_name),
+            refresh_secs=getattr(self.opt, "display_refresh_secs", 5),
+        )
         webpage = HTML(self.web_dir, f"Experiment name = {self.name}", refresh=0)
         webpage.add_header("training losses")
         webpage._body.append(
