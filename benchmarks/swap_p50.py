@@ -1,0 +1,146 @@
+"""Host-to-host per-pair swap latency: raw files -> uint8 swapped image.
+
+VERDICT round-1 weak item #4: the <50 ms p50 target is *per-pair swap*,
+host to host — the 0.9 ms device-time number (BENCH_DETAILS) excludes
+file decode, normalization, ROI prep and the device round-trip.  This
+benchmark measures the full product path at batch 1 over >=100 pairs:
+
+  read body PNG + cloth NPZ + texture JPEG + rois row from disk
+  -> SwapService.swap (device one-hot/normalize + fused warp->texture)
+  -> uint8 numpy image on host
+
+and reports p50/p95/mean.  Per-call host timing is trustworthy here
+(unlike dispatch timing, benchmarks/timing.py) because each call ends in
+a device_get that materializes the result.
+
+Usage: python benchmarks/swap_p50.py [--pairs 128] [--size 128]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=128)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--disk_size", type=int, default=176)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from swapnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.input_pipeline import make_dataroot
+    from swapnet_tpu.data.codec import decompress_cloth_labels_resized
+    from swapnet_tpu.data.image_io import load_rgb, resize_rgb
+    from swapnet_tpu.data.rois import load_rois_csv
+    from swapnet_tpu.serving import SwapService, build_fused_swap
+    from swapnet_tpu.training import TextureSystem, WarpSystem
+    from swapnet_tpu.utils import checkpoint as ckpt
+
+    S = args.size
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    root = tempfile.mkdtemp(prefix="swapnet_p50_data_")
+    ckroot = tempfile.mkdtemp(prefix="swapnet_p50_ckpt_")
+    try:
+        make_dataroot(root, args.pairs + 1, args.disk_size)
+
+        # random-init checkpoints in reference layout (latency is
+        # weight-independent; see tests/test_serving.py for the pattern)
+        onehot = jnp.zeros((1, S, S, 19))
+        warp_dir = os.path.join(ckroot, "warp")
+        wsys = WarpSystem(warp_mode="ce")
+        wstate = wsys.init_state(jax.random.key(0), {
+            "bodys": jnp.zeros((1, S, S, 3)),
+            "input_cloths": onehot, "target_cloths": onehot,
+        })
+        ckpt.save_checkpoint(wstate, warp_dir, "latest")
+        with open(os.path.join(warp_dir, "args.json"), "w") as f:
+            json.dump({"body_representation": "rgb",
+                       "cloth_representation": "labels",
+                       "body_channels": 12, "cloth_channels": 19}, f)
+
+        tex_dir = os.path.join(ckroot, "texture")
+        tsys = TextureSystem(img_size=S, lambda_content=0, lambda_style=0,
+                             is_train=False)
+        tstate = tsys.init_state(jax.random.key(1), {
+            "input_textures": jnp.zeros((1, S, S, 3)),
+            "rois": jnp.zeros((1, 12, 4)),
+            "cloths": onehot,
+            "target_textures": jnp.zeros((1, S, S, 3)),
+        })
+        ckpt.save_checkpoint(tstate, tex_dir, "latest")
+        with open(os.path.join(tex_dir, "args.json"), "w") as f:
+            json.dump({"texture_channels": 3, "cloth_channels": 19,
+                       "body_channels": 12, "crop_size": S,
+                       "norm": "instance"}, f)
+
+        fused, _ = build_fused_swap(warp_dir, tex_dir, dtype=dtype)
+        svc = SwapService(fused, ([0.5] * 3, [0.25] * 3), ([0.5] * 3, [0.25] * 3))
+        rois_table = load_rois_csv(os.path.join(root, "rois.csv"))
+        ids = sorted(rois_table)
+
+        def one_pair(i: int) -> np.ndarray:
+            # person B supplies the body; person A supplies cloth + texture
+            body_id, src_id = ids[i], ids[(i + 1) % len(ids)]
+            body = resize_rgb(
+                load_rgb(os.path.join(root, "body", body_id + ".png")), S
+            )[None]
+            cloth = decompress_cloth_labels_resized(
+                os.path.join(root, "cloth", src_id + ".npz"), S
+            )[None]
+            texture = resize_rgb(
+                load_rgb(os.path.join(root, "texture", src_id + ".jpg")), S
+            )[None]
+            scale = float(S) / args.disk_size
+            rois = (rois_table[src_id] * scale).astype(np.float32)[None]
+            return svc.swap(body, cloth, texture, rois)
+
+        out = one_pair(0)  # compile
+        assert out.shape == (1, S, S, 3) and out.dtype == np.uint8
+
+        lat = []
+        for i in range(args.pairs):
+            t0 = time.perf_counter()
+            out = one_pair(i)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.asarray(lat) * 1e3
+
+        result = {
+            "device": str(jax.devices()[0]),
+            "config": {"pairs": args.pairs, "size": S,
+                       "disk_size": args.disk_size, "dtype": args.dtype},
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+            "mean_ms": round(float(lat_ms.mean()), 2),
+            "target_p50_ms": 50.0,
+            "method": "host wall-clock per pair, raw files -> SwapService.swap "
+                       "-> uint8 on host; first (compile) call excluded",
+        }
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "swap_p50.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result, indent=2))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckroot, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

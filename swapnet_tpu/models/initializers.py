@@ -9,8 +9,11 @@ We keep torch's fan conventions so ported checkpoints and freshly
 initialized networks share variance statistics:
   * conv weight (O, I, kh, kw):           fan_in = I*kh*kw, fan_out = O*kh*kw
   * conv-transpose weight (I, O, kh, kw): fan_in = O*kh*kw, fan_out = I*kh*kw
-Our kernels are stored HWIO (kh, kw, I, O); pass ``transposed=True`` for
-kernels that play the role of a torch ConvTranspose2d weight.
+Conv kernels are stored HWIO (kh, kw, I, O) and ConvTranspose kernels
+HWOI (kh, kw, O, I — see layers.ConvTranspose for the layout rationale).
+In BOTH layouts torch's fan_in sits at shape[-2] and fan_out at shape[-1]
+(torch's transposed fan_in is the OUTPUT channel count), so the fan math
+is layout-uniform; ``transposed`` is kept in the API for documentation.
 """
 
 from __future__ import annotations
@@ -21,14 +24,12 @@ import numpy as np
 
 
 def _fans(shape, transposed: bool):
-    *spatial, in_ch, out_ch = shape
+    # HWIO: shape[-2]=I -> fan_in.  HWOI (transposed): shape[-2]=O, which is
+    # exactly torch's ConvTranspose2d fan_in (size(1)*rf of (I,O,kh,kw)).
+    del transposed  # fan positions are layout-uniform; see module docstring
+    *spatial, a, b = shape
     rf = int(np.prod(spatial)) if spatial else 1
-    fan_in, fan_out = in_ch * rf, out_ch * rf
-    if transposed:
-        # torch computes fans from the (I, O, kh, kw) layout: size(1)*rf is
-        # fan_in, i.e. the *output* channel count for a transposed conv.
-        fan_in, fan_out = fan_out, fan_in
-    return fan_in, fan_out
+    return a * rf, b * rf
 
 
 def normal_init(gain: float = 0.02):

@@ -27,6 +27,11 @@ class OptimizerConfig:
     weight_decay: float = 0.0
     final_lr: float = 0.1  # AdaBound only
     gamma: float = 1e-3  # AdaBound bound convergence speed
+    # bf16 first moment halves mu's HBM traffic + footprint; with b1=0.9
+    # the per-step increment is 0.1*g, well above bf16's 2^-8 resolution
+    # relative to mu.  nu stays f32: its 0.001*g^2 increments would be
+    # swallowed by bf16 rounding once nu converges.
+    mu_dtype: str = "bfloat16"  # bfloat16 | float32
 
 
 class AdaBoundState(NamedTuple):
@@ -82,7 +87,8 @@ def define_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     name = cfg.name.lower()
     if "adam" in name:
         return optax.adamw(
-            cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=1e-8, weight_decay=cfg.weight_decay
+            cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=1e-8, weight_decay=cfg.weight_decay,
+            mu_dtype=jnp.dtype(cfg.mu_dtype),
         )
     if "adabound" in name:
         return adabound(

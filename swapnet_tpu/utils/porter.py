@@ -5,9 +5,10 @@ checkpoints reproduce reference outputs (BASELINE.md "pixel-faithful").
 
 Layout conversions:
   * conv weight        OIHW        -> HWIO           transpose(2,3,1,0)
-  * conv-transpose     (I,O,kh,kw) -> pre-flipped HWIO: spatial flip then
-    transpose(2,3,0,1) (our ConvTranspose stores the equivalent
-    dilated-conv kernel; see swapnet_tpu.models.layers.ConvTranspose)
+  * conv-transpose     (I,O,kh,kw) -> pre-flipped HWOI: spatial flip then
+    transpose(2,3,1,0) (our ConvTranspose stores the equivalent
+    dilated-conv kernel with I innermost — the layout XLA wants; see
+    swapnet_tpu.models.layers.ConvTranspose)
   * batch norm weight/bias -> scale/bias params;
     running_mean/var -> batch_stats.
 
@@ -37,7 +38,7 @@ def conv_kernel(w) -> np.ndarray:
 
 def convT_kernel(w) -> np.ndarray:
     w = _np(w)
-    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 1, 0)).copy()
 
 
 def load_pth(path: str) -> Dict:

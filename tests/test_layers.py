@@ -63,7 +63,7 @@ def test_conv_transpose_matches_torch(rng):
 
     # our kernel is the pre-flipped equivalent dilated-conv kernel HWIO:
     # kernel[kh, kw, i, o] = tw[i, o, K-1-kh, K-1-kw]
-    w = np.transpose(tw[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+    w = np.transpose(tw[:, :, ::-1, ::-1], (2, 3, 1, 0)).copy()  # HWOI
     mod = ConvTranspose(6, 4, 2, 1, use_bias=False)
     y = mod.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
 
@@ -122,7 +122,7 @@ def test_unet_up_matches_torch(rng):
 
     tconv = tnn.ConvTranspose2d(6, 8, 4, 2, 1, bias=False)
     tw = tconv.weight.detach().numpy()  # (I, O, kh, kw)
-    kernel = np.transpose(tw[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+    kernel = np.transpose(tw[:, :, ::-1, ::-1], (2, 3, 1, 0)).copy()  # HWOI
 
     y = UNetUp(8).apply(
         {"params": {"ConvTranspose_0": {"kernel": jnp.asarray(kernel)}}},
