@@ -90,6 +90,12 @@ def main():
     ap.add_argument("--model", default="texture", choices=["texture", "warp"])
     ap.add_argument("--num_workers", type=int, default=4)
     ap.add_argument("--prefetch", type=int, default=4)
+    ap.add_argument("--cache_data", action="store_true",
+                    help="decoded-file RAM cache: epochs 2+ skip disk decode")
+    ap.add_argument("--cache_device", action="store_true",
+                    help="HBM-resident dataset: steps ship only index vectors")
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="with --cache_device: K steps per dispatch (lax.scan)")
     ap.add_argument("--keep_dataroot", default=None,
                     help="reuse/persist the synthetic dataroot at this path")
     args = ap.parse_args()
@@ -129,7 +135,8 @@ def main():
                 "--batch_size", str(args.batch),
                 "--num_workers", str(args.num_workers),
                 "--checkpoints_dir", tempfile.mkdtemp(prefix="swapnet_bench_ckpt_"),
-            ],
+            ]
+            + (["--cache_data"] if args.cache_data else []),
         )
         dataset, loader = create_dataset(opt)
         loader.prefetch_batches = args.prefetch  # drop_last already set by registry
@@ -141,27 +148,63 @@ def main():
         data_sh = batch_sharding(mesh)
         rng = jax.random.key(0)
 
+        from swapnet_tpu.training.loop import build_tick
+
+        resident = None
+        if args.cache_device:
+            from swapnet_tpu.data.device_cache import (
+                DeviceDataset, build_resident_tick,
+            )
+
+            resident = DeviceDataset(
+                dataset, max_items=len(loader),
+                num_workers=args.num_workers, sharding=repl,
+            )
+
         first = next(iter(loader))
         arrays = {k: jax.device_put(v, data_sh) for k, v in array_part(first).items()}
         rng, r_pre, r_init = jax.random.split(rng, 3)
         state = jax.device_put(
             system.init_state(r_init, preprocess(r_pre, arrays)), repl
         )
-        step_fn = jax.jit(system.train_step, donate_argnums=0)
+        if resident is not None and args.steps_per_call > 1:
+            from swapnet_tpu.data.device_cache import build_resident_scan_tick
+
+            step_fn = build_resident_scan_tick(system, preprocess, resident)
+        elif resident is not None:
+            step_fn = build_resident_tick(system, preprocess, resident)
+        else:
+            step_fn = build_tick(system, preprocess)  # the production tick
+
+        epoch_counter = [0]
 
         def run_epoch(state, rng):
             n = 0
             metrics = None
-            for batch in loader:
+            epoch_counter[0] += 1
+            if resident is not None and args.steps_per_call > 1:
+                source = resident.epoch_batches_grouped(
+                    args.batch, args.steps_per_call, epoch=epoch_counter[0]
+                )
+                per_call = args.batch * args.steps_per_call
+            elif resident is not None:
+                source = resident.epoch_batches(args.batch, epoch=epoch_counter[0])
+                per_call = args.batch
+            else:
+                source = loader
+                per_call = args.batch
+            for batch in source:
                 arrays = {
                     k: jax.device_put(v, data_sh)
                     for k, v in array_part(batch).items()
                 }
-                rng, r_pre = jax.random.split(rng)
-                state, metrics = step_fn(state, preprocess(r_pre, arrays))
-                n += arrays[next(iter(arrays))].shape[0]
-            # force completion of the whole dispatched chain
-            jax.block_until_ready(metrics)
+                state, rng, metrics = step_fn(state, rng, arrays)
+                n += per_call
+            # close the chain with a REAL host fetch: the axon runtime's
+            # block_until_ready can return early (benchmarks/timing.py),
+            # but device_get must materialize the last step's metrics,
+            # which depend on the whole donated-state chain
+            _ = [float(v) for v in jax.device_get(metrics).values()]
             return state, rng, n
 
         # --- standalone loader rate (host decode only, no device work)
@@ -188,7 +231,9 @@ def main():
             "config": {
                 "items": args.items, "batch": args.batch, "size": args.size,
                 "disk_size": args.disk_size, "num_workers": args.num_workers,
-                "prefetch_batches": args.prefetch,
+                "prefetch_batches": args.prefetch, "cache_data": args.cache_data,
+                "cache_device": args.cache_device,
+                "steps_per_call": args.steps_per_call,
             },
             "loader_only_images_per_sec": round(n_host / host_only_sec, 2),
             "train_images_per_sec": round(n_total / sec, 2),

@@ -44,18 +44,24 @@ def parse_xplane(path: str, steps: int):
                 continue
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
-                # normalize: strip trailing .N / digits -> category buckets
-                base = re.sub(r"[.\d]+$", "", name)
+                # "%copy-start.15 = (bf16[...](...)) copy-start(...)" ->
+                # opcode bucket "copy-start"
+                base = name.split(" = ")[0].lstrip("%")
+                base = re.sub(r"[.\d]+$", "", base)
                 per_op[base] += ev.duration_ps
     if not per_op:
         raise RuntimeError(f"no TPU op events found in {path}")
 
-    total_ms = sum(per_op.values()) / 1e9 / steps
-    cats = {
+    # *-start ops report the whole async window (overlapped with compute);
+    # everything else is synchronous core occupancy.
+    sync = {k: v for k, v in per_op.items() if not k.endswith("-start")}
+    async_w = {k: v for k, v in per_op.items() if k.endswith("-start")}
+    to_ms = lambda d: {
         k: round(v / 1e9 / steps, 3)
-        for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])
+        for k, v in sorted(d.items(), key=lambda kv: -kv[1])
     }
-    return round(total_ms, 3), cats
+    sync_ms = round(sum(sync.values()) / 1e9 / steps, 3)
+    return sync_ms, to_ms(sync), to_ms(async_w)
 
 
 def main():
@@ -93,17 +99,18 @@ def main():
     pbs = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True)
     if not pbs:
         raise RuntimeError(f"no xplane.pb under {out_dir}")
-    total_ms, cats = parse_xplane(pbs[0], args.steps)
+    sync_ms, sync_ops, async_windows = parse_xplane(pbs[0], args.steps)
 
-    top = dict(list(cats.items())[: args.top])
     result = {
         "device": str(jax.devices()[0]),
         "config": {"batch": args.batch, "size": args.size, "steps": args.steps},
-        "device_ms_per_step_summed": total_ms,
-        "top_ops_ms_per_step": top,
+        "sync_device_ms_per_step": sync_ms,
+        "sync_ops_ms_per_step": dict(list(sync_ops.items())[: args.top]),
+        "async_window_ms_per_step": dict(list(async_windows.items())[: args.top]),
         "trace_dir": out_dir,
-        "note": "summed XLA-op durations can exceed wall step time when ops "
-                 "overlap; use for attribution, not absolute throughput",
+        "note": "sync ops are core occupancy and should sum to ~wall step "
+                 "time; async *-start windows overlap compute (prefetch of "
+                 "params/opt-state slices) and are not additive",
     }
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "trace_report.json"

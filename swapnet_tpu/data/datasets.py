@@ -35,6 +35,36 @@ from swapnet_tpu.data.rois import load_rois_csv
 from swapnet_tpu.data.stats import get_norm_stats
 
 
+class _DecodeCache:
+    """Thread-safe memoization of file -> decoded uint8 array (--cache_data).
+
+    Caches the *decode* (post-resize uint8), never the item: random
+    frame pairing (video mode) and augmentation happen downstream, so
+    epochs after the first skip disk/zlib/JPEG work without changing
+    training semantics.  ~64 KB/item at 128px: 80k items ~ 5 GB.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._store: Dict[str, object] = {}  # array or (array, meta) tuple
+        self._lock = threading.Lock()
+
+    def get(self, key: str, compute):
+        with self._lock:
+            hit = self._store.get(key)
+        if hit is not None:
+            return hit
+        val = compute()
+        with self._lock:
+            self._store[key] = val
+        return val
+
+
+def _maybe_cache(opt) -> Optional[_DecodeCache]:
+    return _DecodeCache() if getattr(opt, "cache_data", False) else None
+
+
 class WarpDataset:
     """Stage-1 dataset (reference datasets/warp_dataset.py:23-183).
 
@@ -62,16 +92,27 @@ class WarpDataset:
                 self.body_files.sort()
         self.body_norm_stats = get_norm_stats(os.path.dirname(self.body_dir), "body")
         opt.body_norm_stats = self.body_norm_stats
+        self.cache = _maybe_cache(opt)
 
     def __len__(self):
         if not self.is_train:
             return min(len(self.cloth_files), len(self.body_files))
         return len(self.cloth_files)
 
+    def _labels(self, path: str, size: int) -> np.ndarray:
+        if self.cache is not None:
+            return self.cache.get(path, lambda: decompress_cloth_labels_resized(path, size))
+        return decompress_cloth_labels_resized(path, size)
+
+    def _rgb(self, path: str, size: int) -> np.ndarray:
+        if self.cache is not None:
+            return self.cache.get(path, lambda: resize_rgb(load_rgb(path), size))
+        return resize_rgb(load_rgb(path), size)
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         size = self.opt.load_size
         cloth_file = self.cloth_files[index]
-        target_labels = decompress_cloth_labels_resized(cloth_file, size)
+        target_labels = self._labels(cloth_file, size)
 
         if self.is_train:
             if self.opt.dataset_mode == "image":
@@ -79,7 +120,7 @@ class WarpDataset:
             elif self.opt.dataset_mode == "video":
                 # temporal augmentation: a random other frame as the input
                 other = self.cloth_files[random.randint(0, len(self) - 1)]
-                input_labels = decompress_cloth_labels_resized(other, size)
+                input_labels = self._labels(other, size)
             else:
                 raise ValueError(self.opt.dataset_mode)
             body_file = get_corresponding_file(cloth_file, self.body_dir)
@@ -87,7 +128,7 @@ class WarpDataset:
             input_labels = target_labels
             body_file = self.body_files[index]
 
-        body = resize_rgb(load_rgb(body_file), size)
+        body = self._rgb(body_file, size)
         return {
             "body_paths": body_file,
             "bodys_u8": body,
@@ -133,17 +174,30 @@ class TextureDataset:
                 self.cloth_files.sort()
 
         self.rois = load_rois_csv(os.path.join(opt.dataroot, "rois.csv"))
+        self.cache = _maybe_cache(opt)
 
     def __len__(self):
         if self.is_train:
             return len(self.texture_files)
         return min(len(self.texture_files), len(self.cloth_files))
 
+    def _texture(self, path: str, size: int):
+        """(resized uint8, original width) — cached together because the
+        ROI scale needs the pre-resize width."""
+
+        def compute():
+            img = load_rgb(path)
+            # PIL width convention (reference texture_dataset.py:116)
+            return resize_rgb(img, size), img.shape[1]
+
+        if self.cache is not None:
+            return self.cache.get(path, compute)
+        return compute()
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         size = self.opt.load_size
         texture_file = self.texture_files[index]
-        img = load_rgb(texture_file)
-        original_size = img.shape[1]  # PIL width convention (reference :116)
+        texture_u8, original_size = self._texture(texture_file, size)
 
         file_id = remove_prefix(
             remove_extension(texture_file), self.texture_dir + "/"
@@ -153,14 +207,19 @@ class TextureDataset:
             if self.is_train
             else self.cloth_files[index]
         )
-        cloth_labels = decompress_cloth_labels_resized(cloth_file, size)
+        if self.cache is not None:
+            cloth_labels = self.cache.get(
+                cloth_file, lambda: decompress_cloth_labels_resized(cloth_file, size)
+            )
+        else:
+            cloth_labels = decompress_cloth_labels_resized(cloth_file, size)
 
         scale = float(size) / original_size
         rois = np.rint(self.rois[file_id] * scale).astype(np.float32)
 
         return {
             "texture_paths": texture_file,
-            "textures_u8": resize_rgb(img, size),
+            "textures_u8": texture_u8,
             "rois": rois,
             "cloth_paths": cloth_file,
             "cloth_labels": cloth_labels,

@@ -104,6 +104,19 @@ class BaseOptions:
                             help="whether to shuffle dataset (default is True)")
         parser.add_argument("--num_workers", default=4, type=int,
                             help="number of CPU threads for data loading")
+        parser.add_argument("--cache_device", action="store_true",
+                            help="decode the whole dataset once and keep it "
+                                 "resident in HBM as uint8; each train step "
+                                 "then ships only a batch-index vector and "
+                                 "gathers/augments on device (TPU-native "
+                                 "answer to host-bound input; ~64 KB/item "
+                                 "at 128px)")
+        parser.add_argument("--cache_data", action="store_true",
+                            help="memoize decoded files (uint8, post-resize) "
+                                 "in host RAM so epochs after the first skip "
+                                 "disk decode entirely (~64 KB/item at 128px; "
+                                 "random pairing/augmentation is unaffected "
+                                 "since both happen downstream)")
         parser.add_argument("--gpu_id", default=0, type=int,
                             help="device id to use. -1 for cpu (kept for CLI "
                                  "compatibility; device selection is via JAX)")

@@ -61,6 +61,27 @@ class AsyncCheckpointer:
             self._thread = None
 
 
+def build_tick(system, preprocess):
+    """ONE jitted program per training iteration: rng advance + device-side
+    preprocess (one-hot/normalize/augment) + fused GAN step.  Collapsing
+    the per-step host->device dispatches (split, preprocess, step) to a
+    single call matters under high-latency runtimes (the axon tunnel costs
+    ~ms per dispatch; benchmarks/input_pipeline.py measures the effect).
+
+    The rng argument is NOT donated so the caller can re-derive the
+    preprocess key (split(rng)[1]) to rebuild the displayed batch.
+    """
+    import jax as _jax
+
+    def tick(state, rng, arrays):
+        rng2, r_pre = _jax.random.split(rng)
+        batch = preprocess(r_pre, arrays)
+        state, metrics = system.train_step(state, batch)
+        return state, rng2, metrics
+
+    return _jax.jit(tick, donate_argnums=0)
+
+
 def train(opt):
     dataset, loader = create_dataset(opt)
     print(f"The number of training images = {len(loader):d}")
@@ -80,11 +101,28 @@ def train(opt):
 
     rng = jax.random.key(getattr(opt, "seed", 0))
 
+    resident = None
+    if getattr(opt, "cache_device", False):
+        from swapnet_tpu.data.device_cache import DeviceDataset
+
+        resident = DeviceDataset(
+            dataset,
+            max_items=len(loader),
+            num_workers=opt.num_workers,
+            sharding=repl,
+        )
+        print(f"device-resident dataset: {resident.n} items, "
+              f"{resident.nbytes() / 1e6:.1f} MB in HBM")
+
     # init from the first batch's shapes
-    first = next(iter(loader))
-    first_arrays = {
-        k: jax.device_put(v, data_sh) for k, v in _array_part(first).items()
-    }
+    if resident is not None:
+        first_idx = next(resident.epoch_batches(opt.batch_size))["indices"]
+        first_arrays = resident.gather(jax.device_put(first_idx, data_sh))
+    else:
+        first = next(iter(loader))
+        first_arrays = {
+            k: jax.device_put(v, data_sh) for k, v in _array_part(first).items()
+        }
     rng, r_pre, r_init = jax.random.split(rng, 3)
     model_batch = preprocess(r_pre, first_arrays)
     state = system.init_state(r_init, model_batch)
@@ -97,7 +135,12 @@ def train(opt):
         state = ckpt.load_checkpoint(state, ckpt_dir, opt.load_epoch)
         print(f"loaded checkpoint '{opt.load_epoch}' from {ckpt_dir} (step {int(state.step)})")
 
-    step_fn = jax.jit(system.train_step, donate_argnums=0)
+    if resident is not None:
+        from swapnet_tpu.data.device_cache import build_resident_tick
+
+        step_fn = build_resident_tick(system, preprocess, resident)
+    else:
+        step_fn = build_tick(system, preprocess)
     saver = AsyncCheckpointer()
 
     profile_dir = getattr(opt, "profile_dir", None)
@@ -109,6 +152,7 @@ def train(opt):
         _train_epochs(
             opt, loader, system, preprocess, visualizer, ckpt_dir,
             box, step_fn, saver, data_sh, profile_dir, profile_steps,
+            resident=resident,
         )
     except KeyboardInterrupt:
         # graceful preemption: persist the latest state before exiting.
@@ -131,6 +175,7 @@ def train(opt):
 def _train_epochs(
     opt, loader, system, preprocess, visualizer, ckpt_dir,
     box, step_fn, saver, data_sh, profile_dir, profile_steps,
+    resident=None,
 ):
     state, rng = box["state"], box["rng"]
     eval_fn = jax.jit(system.eval_step)  # display path must not run eagerly
@@ -139,7 +184,15 @@ def _train_epochs(
     for epoch in range(opt.start_epoch + 1, opt.n_epochs + 1):
         epoch_iter = 0
         iter_data_time = time.time()
-        for batch in loader:
+        source = (
+            resident.epoch_batches(
+                opt.batch_size, opt.shuffle_data,
+                getattr(opt, "seed", 0), epoch,
+            )
+            if resident is not None
+            else loader
+        )
+        for batch in source:
             iter_start_time = time.time()
             t_data = iter_start_time - iter_data_time
             visualizer.reset()
@@ -156,9 +209,8 @@ def _train_epochs(
             arrays = {
                 k: jax.device_put(v, data_sh) for k, v in _array_part(batch).items()
             }
-            rng, r_pre = jax.random.split(rng)
-            model_batch = preprocess(r_pre, arrays)
-            state, metrics = step_fn(state, model_batch)
+            rng_prev = rng
+            state, rng, metrics = step_fn(state, rng, arrays)
             box["state"], box["rng"] = state, rng
             if profiling and total_iters >= profile_stop_at:
                 jax.block_until_ready(metrics)
@@ -177,6 +229,13 @@ def _train_epochs(
 
             if total_iters % opt.display_freq == 0:
                 save_result = total_iters % opt.update_html_freq == 0
+                # rebuild the exact batch the tick trained on: same key
+                _, r_pre = jax.random.split(rng_prev)
+                raw = (
+                    resident.gather(arrays["indices"])
+                    if resident is not None else arrays
+                )
+                model_batch = preprocess(r_pre, raw)
                 fakes = eval_fn(state, model_batch)
                 visuals = compute_visuals(opt, jax.device_get(model_batch), np.asarray(fakes))
                 visualizer.display_current_results(visuals, epoch, save_result)

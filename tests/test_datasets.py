@@ -128,3 +128,45 @@ def test_loader_propagates_worker_errors(dataroot):
     loader = DataLoader(Boom(), batch_size=2, shuffle=False, num_workers=2)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(loader)
+
+
+def test_cache_data_items_identical_and_decode_once(dataroot, monkeypatch):
+    """--cache_data must return identical items while decoding each file
+    at most once across epochs (texture ROI scale needs the cached
+    pre-resize width too)."""
+    import swapnet_tpu.data.datasets as dsmod
+
+    cold = TextureDataset(_opt(dataroot))
+    want = [cold[i] for i in range(len(cold))]
+
+    calls = {"n": 0}
+    real = dsmod.load_rgb
+
+    def counting_load(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(dsmod, "load_rgb", counting_load)
+    ds = TextureDataset(_opt(dataroot, cache_data=True))
+    for _ in range(3):  # three epochs over the same files
+        for i in range(len(ds)):
+            got = ds[i]
+            np.testing.assert_array_equal(got["textures_u8"], want[i]["textures_u8"])
+            np.testing.assert_array_equal(got["rois"], want[i]["rois"])
+            np.testing.assert_array_equal(got["cloth_labels"], want[i]["cloth_labels"])
+    assert calls["n"] == len(ds)  # one decode per texture file, ever
+
+
+def test_cache_data_warp_video_mode_pairing_still_random(dataroot):
+    """Caching the decode must not freeze video-mode's random pairing."""
+    import random as _random
+
+    ds = WarpDataset(_opt(dataroot, dataset_mode="video", cache_data=True))
+    _random.seed(0)
+    pairs = {ds[0]["cloth_paths"] for _ in range(2)}  # target fixed
+    inputs = set()
+    for _ in range(8):
+        item = ds[0]
+        inputs.add(item["input_labels"].tobytes())
+    assert len(pairs) == 1
+    assert len(inputs) > 1  # random other frames still vary
