@@ -89,7 +89,13 @@ def build_fused_swap(
 
 
 class SwapService:
-    """Raw-inputs wrapper: normalization + one-hot on device, uint8 out."""
+    """Raw-inputs wrapper: ONE jitted uint8-in/uint8-out program.
+
+    Normalization, one-hot expansion, the fused warp->texture graph and
+    the [-1,1]->uint8 decode (tensor2im math, util/util.py:9-32) all run
+    inside a single dispatch — per-swap host work is one upload of the
+    uint8 inputs and one download of the uint8 result.  Weights are
+    HBM-resident (see FusedSwap.__init__)."""
 
     def __init__(self, fused: FusedSwap, body_norm_stats, texture_norm_stats,
                  cloth_channels: Optional[int] = None):
@@ -98,6 +104,20 @@ class SwapService:
         self.texture_stats = texture_norm_stats
         # derive from the loaded warp module unless explicitly overridden
         self.cloth_channels = cloth_channels or fused.warp.cloth_channels
+        self._fn = jax.jit(self._swap_u8)
+
+    def _swap_u8(self, wv, tv, body_u8, cloth_labels, texture_u8, rois):
+        from swapnet_tpu.data.codec import labels_to_onehot
+        from swapnet_tpu.data.transforms import normalize
+
+        body = normalize(body_u8.astype(jnp.float32) / 255.0, *self.body_stats)
+        cloth = labels_to_onehot(cloth_labels, self.cloth_channels)
+        texture = normalize(
+            texture_u8.astype(jnp.float32) / 255.0, *self.texture_stats
+        )
+        out = self.fused._swap(wv, tv, body, cloth, texture, rois)
+        out = jnp.clip((out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+        return jnp.round(out * 255.0).astype(jnp.uint8)
 
     def swap(
         self,
@@ -106,14 +126,11 @@ class SwapService:
         texture_u8: np.ndarray,  # (B, H, W, 3) uint8 source photo
         rois: np.ndarray,  # (B, 12, 4)
     ) -> np.ndarray:
-        from swapnet_tpu.data.codec import labels_to_onehot
-        from swapnet_tpu.data.transforms import normalize
-        from swapnet_tpu.utils.visuals import tensor2im
-
-        body = normalize(jnp.asarray(body_u8, jnp.float32) / 255.0, *self.body_stats)
-        cloth = labels_to_onehot(jnp.asarray(cloth_labels), self.cloth_channels)
-        texture = normalize(
-            jnp.asarray(texture_u8, jnp.float32) / 255.0, *self.texture_stats
+        # numpy args go straight to the jitted call: one transfer pass,
+        # no per-array eager device_put round-trips
+        out = self._fn(
+            self.fused.warp_variables, self.fused.texture_variables,
+            body_u8, cloth_labels, texture_u8,
+            np.asarray(rois, dtype=np.float32),
         )
-        out = self.fused(body, cloth, texture, jnp.asarray(rois))
-        return tensor2im(np.asarray(out))
+        return np.asarray(out)

@@ -36,9 +36,12 @@ class FusedSwap:
         texture_variables,
     ):
         self.warp = warp_module
-        self.warp_variables = warp_variables
+        # pin weights in HBM NOW: checkpoint loads hand back host numpy
+        # trees, and passing those to a jitted call re-uploads ~800 MB per
+        # dispatch (measured 15-30 s/swap over the axon tunnel)
+        self.warp_variables = jax.device_put(warp_variables)
         self.texture = texture_module
-        self.texture_variables = texture_variables
+        self.texture_variables = jax.device_put(texture_variables)
         self._fn = jax.jit(self._swap)
 
     def _swap(self, warp_vars, tex_vars, body, cloth, texture, rois):
