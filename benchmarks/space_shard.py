@@ -28,8 +28,12 @@ import numpy as np
 def _step_time(step, state, sharded, repeats=3):
     import jax
 
-    state2, metrics = step(state, sharded)  # compile
+    t0 = time.perf_counter()
+    state2, metrics = step(state, sharded)  # compile + first step
     jax.block_until_ready(metrics)
+    first = time.perf_counter() - t0
+    if repeats == 0:  # validation-only mode (512^2 on a 1-core CPU host)
+        return first, metrics
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -39,7 +43,7 @@ def _step_time(step, state, sharded, repeats=3):
     return best, metrics
 
 
-def run_step(system, batch_d, mesh, space: bool):
+def run_step(system, batch_d, mesh, space: bool, repeats: int = 3):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -56,13 +60,17 @@ def run_step(system, batch_d, mesh, space: bool):
     }
     sharded = {k: jax.device_put(v, shardings[k]) for k, v in batch_d.items()}
     state = system.init_state(jax.random.key(0), batch_d)
-    state = jax.device_put(state, replicated_sharding(mesh))
+    repl = replicated_sharding(mesh)
+    state = jax.device_put(state, repl)
     step = jax.jit(
         system.train_step,
-        in_shardings=(replicated_sharding(mesh), shardings),
+        in_shardings=(repl, shardings),
+        # pin outputs too: otherwise XLA may emit space-sharded params and
+        # the second call rejects them against the replicated in_shardings
+        out_shardings=(repl, repl),
         donate_argnums=0,
     )
-    return _step_time(step, state, sharded)
+    return _step_time(step, state, sharded, repeats=repeats)
 
 
 def main():
@@ -98,7 +106,7 @@ def main():
     mesh512 = create_mesh(jax.devices()[:n], data=data, space=n // data)
     system = TextureSystem(img_size=args.size, lambda_style=0.0)
     batch_d = _texture_batch(args.batch, args.size)
-    t_512, metrics = run_step(system, batch_d, mesh512, space=True)
+    t_512, metrics = run_step(system, batch_d, mesh512, space=True, repeats=0)
     loss_g = float(metrics["loss_G"])
     assert np.isfinite(loss_g), metrics
     print(f"512-grade validation: size={args.size} batch={args.batch} "
@@ -121,7 +129,7 @@ def main():
         "validated_512": {
             "size": args.size, "batch": args.batch,
             "mesh": {"data": mesh512.shape["data"], "space": mesh512.shape["space"]},
-            "loss_G": round(loss_g, 4), "step_seconds": round(t_512, 3),
+            "loss_G": round(loss_g, 4), "compile_plus_step_seconds": round(t_512, 3),
         },
         "halo_overhead": {
             "size": args.overhead_size, "global_batch": b,

@@ -120,9 +120,16 @@ class BaseGANSystem:
             d_extra = d_vars
             d_opt_state = self.d_tx.init(d_params)
 
+        # copy frozen aux buffers: states are donated into train_step, so
+        # handing out the system instance's only copy would delete it the
+        # first time ANY state from this system is stepped (then a second
+        # init_state -> "Array has been deleted")
+        frozen = self.frozen_variables()
+        if frozen is not None:
+            frozen = jax.tree.map(lambda x: jnp.array(x, copy=True), frozen)
         return GANTrainState.create(
             r_state, g_params, g_opt_state, g_extra, d_params, d_opt_state,
-            d_extra, frozen=self.frozen_variables(),
+            d_extra, frozen=frozen,
         )
 
     def init_generator(self, rngs, batch):

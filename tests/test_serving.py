@@ -66,3 +66,33 @@ def test_fused_swap_from_checkpoints(ckpt_dirs):
     assert out.shape == (2, SIZE, SIZE, 3)
     assert out.dtype == np.uint8
     assert out.min() >= 0 and out.max() <= 255
+
+
+def test_single_dispatch_swap_matches_composed_path(ckpt_dirs):
+    """SwapService's fused u8->u8 program must equal normalize ->
+    FusedSwap -> tensor2im composed eagerly (util/util.py:9-32 math)."""
+    import jax.numpy as jnp
+
+    from swapnet_tpu.data.codec import labels_to_onehot
+    from swapnet_tpu.data.transforms import normalize
+    from swapnet_tpu.utils.visuals import tensor2im
+
+    fused, _ = build_fused_swap(*ckpt_dirs, dtype=jnp.float32)
+    svc = SwapService(fused, ([0.5] * 3, [0.25] * 3), ([0.5] * 3, [0.25] * 3))
+
+    r = np.random.RandomState(7)
+    body = r.randint(0, 255, (1, SIZE, SIZE, 3), dtype=np.uint8)
+    labels = r.randint(0, 19, (1, SIZE, SIZE)).astype(np.uint8)
+    tex = r.randint(0, 255, (1, SIZE, SIZE, 3), dtype=np.uint8)
+    rois = np.tile([4.0, 4.0, 40.0, 40.0], (1, 12, 1)).astype(np.float32)
+
+    got = svc.swap(body, labels, tex, rois)
+
+    body_n = normalize(jnp.asarray(body, jnp.float32) / 255.0, [0.5] * 3, [0.25] * 3)
+    cloth = labels_to_onehot(jnp.asarray(labels), 19)
+    tex_n = normalize(jnp.asarray(tex, jnp.float32) / 255.0, [0.5] * 3, [0.25] * 3)
+    want = tensor2im(np.asarray(fused(body_n, cloth, tex_n, jnp.asarray(rois))))
+
+    assert got.dtype == np.uint8
+    # identical math modulo one rounding ULP from fused association
+    assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 1

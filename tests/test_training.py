@@ -146,3 +146,23 @@ def test_warp_ce_data_parallel_8dev():
     p1 = jax.tree.leaves(state.g_params)[0]
     p2 = jax.tree.leaves(state2.g_params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=3e-4)
+
+
+def test_init_state_survives_donated_sibling():
+    """Two states from ONE system: donating the first into train_step must
+    not delete the second's frozen aux buffers (regression: shared
+    _vgg_variables were deleted by donation)."""
+    import jax
+
+    from swapnet_tpu.training import TextureSystem
+
+    batch = texture_batch(b=2, size=64)
+    system = TextureSystem(img_size=64, lambda_style=0.0)  # perceptual on
+    s1 = system.init_state(jax.random.key(0), batch)
+    step = jax.jit(system.train_step, donate_argnums=0)
+    s1, metrics = step(s1, batch)
+    assert jnp.isfinite(metrics["loss_G"])
+
+    s2 = system.init_state(jax.random.key(1), batch)
+    s2, metrics2 = step(s2, batch)  # would raise "Array has been deleted" before
+    assert jnp.isfinite(metrics2["loss_G"])
