@@ -7,14 +7,14 @@
    pooled tile in VMEM instead of round-tripping the einsum intermediate
    through HBM.
 
-2. ``instance_norm_leaky_relu`` — fused InstanceNorm + LeakyReLU: one HBM
-   read, stats + normalize + activation in VMEM, one HBM write.  This is
-   the norm+act half of the reference's UNetDown/UNetUp blocks
-   (modules/layers.py:12-44); the conv half stays in XLA where the MXU
-   tiling is already optimal.
+(A fused InstanceNorm+LeakyReLU Pallas kernel lived here through round 2
+and measured SLOWER than XLA's own fusion at every UNetDown shape —
+0.77-0.93x once instance_norm switched to single-pass E[x^2]-E[x]^2
+stats, which lets XLA fuse both reductions into one read.  Deleted;
+negative result recorded in ROADMAP.md so it isn't re-attempted.)
 
-Both have jnp fallbacks and are validated against them in tests (Pallas
-interpret mode on CPU, compiled on TPU).
+The kernel has a jnp fallback and is validated against it in tests
+(Pallas interpret mode on CPU, compiled on TPU).
 """
 
 from __future__ import annotations
@@ -115,38 +115,3 @@ def roi_align_pallas(
     return jnp.transpose(out_cf, (0, 1, 3, 4, 2))
 
 
-def _in_lrelu_kernel(eps, slope, x_ref, o_ref):
-    x = x_ref[0].astype(jnp.float32)  # (H, W, C)
-    mean = jnp.mean(x, axis=(0, 1), keepdims=True)
-    centered = x - mean
-    var = jnp.mean(centered * centered, axis=(0, 1), keepdims=True)
-    y = centered * jax.lax.rsqrt(var + eps)
-    o_ref[0] = jnp.where(y >= 0, y, slope * y).astype(o_ref.dtype)
-
-
-def instance_norm_leaky_relu(
-    x: jax.Array,  # (B, H, W, C)
-    eps: float = 1e-5,
-    slope: float = 0.2,
-    interpret: bool = False,
-) -> jax.Array:
-    """Fused InstanceNorm(affine=False) + LeakyReLU, one pass over HBM."""
-    B, H, W, C = x.shape
-    # VMEM budget: fall back to the XLA path for oversized blocks
-    if H * W * C * 4 > 12 * 1024 * 1024:
-        from swapnet_tpu.models.layers import instance_norm, leaky_relu
-
-        return leaky_relu(instance_norm(x, eps), slope)
-    kernel = functools.partial(_in_lrelu_kernel, eps, slope)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x)

@@ -5,9 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from swapnet_tpu.models.layers import instance_norm, leaky_relu
 from swapnet_tpu.ops import roi_align
-from swapnet_tpu.ops.pallas_kernels import instance_norm_leaky_relu, roi_align_pallas
+from swapnet_tpu.ops.pallas_kernels import roi_align_pallas
 
 
 @pytest.fixture
@@ -40,18 +39,3 @@ def test_roi_align_pallas_zero_rois(rng):
     )
     ref = roi_align(jnp.asarray(feats), jnp.asarray(rois), output_size=(4, 4))
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
-
-
-def test_instance_norm_lrelu_fused(rng):
-    x = rng.randn(2, 16, 16, 8).astype(np.float32)
-    ours = instance_norm_leaky_relu(jnp.asarray(x), interpret=True)
-    ref = leaky_relu(instance_norm(jnp.asarray(x)), 0.2)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
-
-
-def test_instance_norm_lrelu_large_fallback(rng):
-    """Blocks over the VMEM budget take the XLA path."""
-    x = rng.randn(1, 256, 256, 64).astype(np.float32)  # 16MB > budget
-    ours = instance_norm_leaky_relu(jnp.asarray(x))
-    ref = leaky_relu(instance_norm(jnp.asarray(x)), 0.2)
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
