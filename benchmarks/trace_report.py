@@ -34,6 +34,7 @@ def parse_xplane(path: str, steps: int):
         xs.ParseFromString(f.read())
 
     per_op = collections.Counter()
+    per_instr = collections.Counter()
     for plane in xs.planes:
         if "TPU" not in plane.name and "/device:" not in plane.name:
             continue
@@ -46,9 +47,12 @@ def parse_xplane(path: str, steps: int):
                 name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
                 # "%copy-start.15 = (bf16[...](...)) copy-start(...)" ->
                 # opcode bucket "copy-start"
-                base = name.split(" = ")[0].lstrip("%")
-                base = re.sub(r"[.\d]+$", "", base)
+                instr = name.split(" = ")[0].lstrip("%")
+                base = re.sub(r"[.\d]+$", "", instr)
                 per_op[base] += ev.duration_ps
+                if not base.endswith("-start"):
+                    # keep the full def for the hot-instruction list
+                    per_instr[name[:160]] += ev.duration_ps
     if not per_op:
         raise RuntimeError(f"no TPU op events found in {path}")
 
@@ -61,7 +65,7 @@ def parse_xplane(path: str, steps: int):
         for k, v in sorted(d.items(), key=lambda kv: -kv[1])
     }
     sync_ms = round(sum(sync.values()) / 1e9 / steps, 3)
-    return sync_ms, to_ms(sync), to_ms(async_w)
+    return sync_ms, to_ms(sync), to_ms(async_w), to_ms(per_instr)
 
 
 def main():
@@ -99,7 +103,7 @@ def main():
     pbs = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True)
     if not pbs:
         raise RuntimeError(f"no xplane.pb under {out_dir}")
-    sync_ms, sync_ops, async_windows = parse_xplane(pbs[0], args.steps)
+    sync_ms, sync_ops, async_windows, instrs = parse_xplane(pbs[0], args.steps)
 
     result = {
         "device": str(jax.devices()[0]),
@@ -107,6 +111,7 @@ def main():
         "sync_device_ms_per_step": sync_ms,
         "sync_ops_ms_per_step": dict(list(sync_ops.items())[: args.top]),
         "async_window_ms_per_step": dict(list(async_windows.items())[: args.top]),
+        "hot_instructions_ms_per_step": dict(list(instrs.items())[: args.top]),
         "trace_dir": out_dir,
         "note": "sync ops are core occupancy and should sum to ~wall step "
                  "time; async *-start windows overlap compute (prefetch of "
