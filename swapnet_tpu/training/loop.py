@@ -219,7 +219,7 @@ def _train_epochs(
                 profile_dir = None  # one trace per run
                 print("profiler trace written")
 
-            if total_iters % opt.print_freq == 0:
+            if opt.print_freq and total_iters % opt.print_freq == 0:
                 # fetch (sync point) only at print boundaries
                 fetched = {k: float(v) for k, v in metrics.items()}
                 t_comp = (time.time() - iter_start_time) / opt.batch_size
@@ -227,8 +227,12 @@ def _train_epochs(
                     epoch, epoch_iter, fetched, t_comp, t_data
                 )
 
-            if total_iters % opt.display_freq == 0:
-                save_result = total_iters % opt.update_html_freq == 0
+            # freq 0 disables a channel (the reference would divide by zero)
+            if opt.display_freq and total_iters % opt.display_freq == 0:
+                save_result = (
+                    opt.update_html_freq
+                    and total_iters % opt.update_html_freq == 0
+                )
                 # rebuild the exact batch the tick trained on: same key
                 _, r_pre = jax.random.split(rng_prev)
                 raw = (

@@ -162,3 +162,48 @@ def test_continue_train(checkpoints, dataroot):
     state = train(opt)
     # resumed from step 2 (2 batches of the first run) + 2 more batches
     assert int(state.step) == 4
+
+
+def test_video_mode_training(dataroot, tmp_path_factory):
+    """--dataset_mode video trains end-to-end: the input cloth is a random
+    other frame (temporal augmentation, reference warp_dataset.py:97-107)."""
+    ckpts = tmp_path_factory.mktemp("video_ckpts")
+    opt = TrainOptions().parse(
+        print_options=False,
+        args=[
+            "--model", "warp", "--name", "warp_video", "--warp_mode", "ce",
+            "--dataset_mode", "video",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(ckpts),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+            "--latest_checkpoint_freq", "0", "--print_freq", "2",
+            "--display_freq", "0", "--num_workers", "2",
+            "--compute_dtype", "float32",
+        ],
+    )
+    state = train(opt)
+    assert int(state.step) == N_ITEMS // 2
+    assert (ckpts / "warp_video" / "latest_net_generator.msgpack").exists()
+
+
+def test_cache_device_training_e2e(dataroot, tmp_path_factory):
+    """--cache_device trains through the resident-tick path end-to-end."""
+    ckpts = tmp_path_factory.mktemp("resident_ckpts")
+    opt = TrainOptions().parse(
+        print_options=False,
+        args=[
+            "--model", "warp", "--name", "warp_res", "--warp_mode", "ce",
+            "--cache_device",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(ckpts),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "2", "--checkpoint_freq", "2",
+            "--latest_checkpoint_freq", "0", "--print_freq", "2",
+            "--display_freq", "2", "--num_workers", "2",
+            "--compute_dtype", "float32",
+        ],
+    )
+    state = train(opt)
+    assert int(state.step) == N_ITEMS  # 2 epochs x 2 steps
+    assert (ckpts / "warp_res" / "latest_net_generator.msgpack").exists()
