@@ -163,9 +163,16 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_DETAILS.json",
     )
+    # merge: other benchmarks (swap_p50, input_pipeline, roofline) record
+    # their sections in the same file — don't clobber them
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results, indent=2))
+        json.dump(merged, f, indent=2)
+    print(json.dumps(merged, indent=2))
 
 
 if __name__ == "__main__":
