@@ -28,6 +28,7 @@ PEAK_HBM_GBPS = 819.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--model", default="texture", choices=["texture", "warp"])
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
@@ -40,10 +41,26 @@ def main():
 
     from __graft_entry__ import _texture_batch
     from benchmarks.timing import scan_seconds_per_step
-    from swapnet_tpu.training import TextureSystem
+    from swapnet_tpu.training import TextureSystem, WarpSystem
 
-    system = TextureSystem(img_size=args.size, dtype=jnp.bfloat16)
-    batch_d = _texture_batch(args.batch, args.size)
+    if args.model == "warp":
+        import numpy as _np
+
+        r = _np.random.RandomState(0)
+        onehot = _np.eye(19, dtype=_np.float32)[
+            r.randint(0, 19, (args.batch, args.size, args.size))
+        ]
+        system = WarpSystem(dtype=jnp.bfloat16)
+        batch_d = {
+            "bodys": jnp.asarray(
+                r.randn(args.batch, args.size, args.size, 3).astype(_np.float32)
+            ),
+            "input_cloths": jnp.asarray(onehot),
+            "target_cloths": jnp.asarray(onehot),
+        }
+    else:
+        system = TextureSystem(img_size=args.size, dtype=jnp.bfloat16)
+        batch_d = _texture_batch(args.batch, args.size)
     state = system.init_state(jax.random.key(0), batch_d)
 
     step = jax.jit(lambda s: system.train_step(s, batch_d)[0], donate_argnums=0)
@@ -76,7 +93,7 @@ def main():
     achieved_tflops = flops / sec / 1e12
     result = {
         "device": str(jax.devices()[0]),
-        "config": {"batch": args.batch, "size": args.size},
+        "config": {"model": args.model, "batch": args.batch, "size": args.size},
         "flops_per_step": flops,
         "seconds_per_step": sec,
         "images_per_sec": args.batch / sec,
@@ -97,7 +114,10 @@ def main():
                   "read); fori_loop slope timing (benchmarks/timing.py); "
                   "per-op attribution in trace_report.json",
     }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "roofline.json")
+    suffix = "" if args.model == "texture" else f"_{args.model}"
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"roofline{suffix}.json"
+    )
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))

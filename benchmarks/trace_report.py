@@ -72,6 +72,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--model", default="texture", choices=["texture", "warp"])
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
@@ -83,10 +84,26 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _texture_batch
-    from swapnet_tpu.training import TextureSystem
+    from swapnet_tpu.training import TextureSystem, WarpSystem
 
-    system = TextureSystem(img_size=args.size, dtype=jnp.bfloat16)
-    batch_d = _texture_batch(args.batch, args.size)
+    if args.model == "warp":
+        import numpy as _np
+
+        r = _np.random.RandomState(0)
+        onehot = _np.eye(19, dtype=_np.float32)[
+            r.randint(0, 19, (args.batch, args.size, args.size))
+        ]
+        system = WarpSystem(dtype=jnp.bfloat16)
+        batch_d = {
+            "bodys": jnp.asarray(
+                r.randn(args.batch, args.size, args.size, 3).astype(_np.float32)
+            ),
+            "input_cloths": jnp.asarray(onehot),
+            "target_cloths": jnp.asarray(onehot),
+        }
+    else:
+        system = TextureSystem(img_size=args.size, dtype=jnp.bfloat16)
+        batch_d = _texture_batch(args.batch, args.size)
     state = system.init_state(jax.random.key(0), batch_d)
     step = jax.jit(lambda s: system.train_step(s, batch_d)[0], donate_argnums=0)
     state = step(state)
@@ -107,7 +124,7 @@ def main():
 
     result = {
         "device": str(jax.devices()[0]),
-        "config": {"batch": args.batch, "size": args.size, "steps": args.steps},
+        "config": {"model": args.model, "batch": args.batch, "size": args.size, "steps": args.steps},
         "sync_device_ms_per_step": sync_ms,
         "sync_ops_ms_per_step": dict(list(sync_ops.items())[: args.top]),
         "async_window_ms_per_step": dict(list(async_windows.items())[: args.top]),
@@ -117,8 +134,9 @@ def main():
                  "time; async *-start windows overlap compute (prefetch of "
                  "params/opt-state slices) and are not additive",
     }
+    suffix = "" if args.model == "texture" else f"_{args.model}"
     out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "trace_report.json"
+        os.path.dirname(os.path.abspath(__file__)), f"trace_report{suffix}.json"
     )
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
