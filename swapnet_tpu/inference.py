@@ -99,6 +99,10 @@ def _rebuild_from_checkpoint(opt, checkpoint_file, same_crop_load_size=False, **
         checkpoint_dir, label, state.g_params, state.g_extra
     )
     state = state.replace(g_params=g_params, g_extra=g_extra or {})
+    # pin restored weights in HBM once: load_generator_weights returns host
+    # numpy, and a jitted eval re-uploads numpy args on EVERY batch
+    # (same bug class as FusedSwap round 2; ~0.5 GB/batch over the tunnel)
+    state = jax.device_put(state)
     return system, state, loaded_opt, dataset, loader, preprocess
 
 
