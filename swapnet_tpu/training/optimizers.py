@@ -85,6 +85,24 @@ def adabound(
 
 def define_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     name = cfg.name.lower()
+    if "adafactor" in name:
+        # TPU-native addition (not in the reference factory): Adafactor with
+        # bf16 momentum.  The second moment is stored factored (row/col means
+        # per matrix, Shazeer & Stern 2018) instead of per-parameter f32, so a
+        # 137M-param warp generator's optimizer traffic drops from ~1.6 GB to
+        # ~0.55 GB per step — the warp step is compulsory-bytes bound (see
+        # benchmarks/roofline_warp.json).  multiply_by_parameter_scale=False
+        # keeps the effective step Adam-like under the reference's small
+        # constant lr.
+        return optax.adafactor(
+            learning_rate=cfg.lr,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=1.0,
+            momentum=cfg.b1,
+            dtype_momentum=jnp.bfloat16,
+            weight_decay_rate=cfg.weight_decay or None,
+            factored=True,
+        )
     if "adam" in name:
         return optax.adamw(
             cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=1e-8, weight_decay=cfg.weight_decay,

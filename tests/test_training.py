@@ -91,6 +91,32 @@ def test_warp_wgan_clamps_weights():
     assert max_w < 0.1, max_w
 
 
+def test_warp_adafactor_trains_and_checkpoints(tmp_path):
+    """--optimizer_G Adafactor (TPU-native addition): factored second moment
+    + bf16 momentum.  The optimizer state must be substantially smaller than
+    the f32 params (AdamW's bf16-mu + f32-nu state is ~1.5x params), training
+    must still converge, and the state must survive the reference-layout
+    checkpoint round-trip."""
+    from swapnet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = OptimizerConfig(name="Adafactor", lr=1e-3)
+    sys_ = WarpSystem(warp_mode="ce", g_opt=cfg)
+    losses, state = _loss_decreases(sys_, warp_batch(), "loss_G", n=5)
+    assert losses[-1] < losses[0], losses
+
+    opt_bytes = sum(x.nbytes for x in jax.tree.leaves(state.g_opt_state))
+    param_bytes = sum(x.nbytes for x in jax.tree.leaves(state.g_params))
+    assert opt_bytes < 0.8 * param_bytes, (opt_bytes, param_bytes)
+
+    save_checkpoint(state, str(tmp_path), "latest")
+    st2 = WarpSystem(warp_mode="ce", g_opt=cfg).init_state(
+        jax.random.key(1), warp_batch()
+    )
+    st2 = load_checkpoint(st2, str(tmp_path), "latest")
+    for a, b in zip(jax.tree.leaves(state.g_opt_state), jax.tree.leaves(st2.g_opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_texture_gan_trains():
     sys_ = TextureSystem(img_size=SIZE)
     batch = texture_batch()
