@@ -1,4 +1,4 @@
-"""Optimizer factory (optax) — AdamW and AdaBound.
+"""Optimizer factory (optax) — AdamW, AdaBound, and Adafactor.
 
 Mirrors the reference factory (reference: optimizers/__init__.py:37-60):
 per-net lr / weight decay with betas shared, selected by name.  AdaBound
@@ -20,7 +20,7 @@ import optax
 
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig:
-    name: str = "AdamW"  # AdamW | AdaBound
+    name: str = "AdamW"  # AdamW | AdaBound | Adafactor
     lr: float = 1e-4
     b1: float = 0.9
     b2: float = 0.999
@@ -94,13 +94,24 @@ def define_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         # benchmarks/roofline_warp.json).  multiply_by_parameter_scale=False
         # keeps the effective step Adam-like under the reference's small
         # constant lr.
+        if cfg.b2 != 0.999:
+            import warnings
+
+            warnings.warn(
+                "Adafactor ignores --b2: its second-moment decay follows the "
+                "Shazeer & Stern schedule 1-(t+1)^-0.8, not a fixed beta2",
+                stacklevel=2,
+            )
+        # optax.adafactor applies weight_decay_rate AFTER lr scaling (raw
+        # multiplicative decay per step); scale by lr so --weight_decay means
+        # the same thing as under AdamW (effective decay = lr * wd).
         return optax.adafactor(
             learning_rate=cfg.lr,
             multiply_by_parameter_scale=False,
             clipping_threshold=1.0,
             momentum=cfg.b1,
             dtype_momentum=jnp.bfloat16,
-            weight_decay_rate=cfg.weight_decay or None,
+            weight_decay_rate=(cfg.lr * cfg.weight_decay) or None,
             factored=True,
         )
     if "adam" in name:

@@ -117,6 +117,24 @@ def test_warp_adafactor_trains_and_checkpoints(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_adafactor_weight_decay_is_lr_scaled():
+    """--weight_decay must mean the same thing under Adafactor as under
+    AdamW (effective per-step decay = lr * wd); optax.adafactor's raw
+    weight_decay_rate is applied after lr scaling, so it must be
+    pre-multiplied by lr."""
+    from swapnet_tpu.training.optimizers import define_optimizer
+
+    lr, wd = 4e-4, 0.01
+    tx = define_optimizer(OptimizerConfig(name="Adafactor", lr=lr, weight_decay=wd))
+    params = {"w": jnp.ones((256, 256))}
+    opt_state = tx.init(params)
+    updates, _ = tx.update(jax.tree.map(jnp.zeros_like, params), opt_state, params)
+    # zero grads -> the only update is the decay term
+    np.testing.assert_allclose(
+        np.asarray(updates["w"]), -lr * wd * np.ones((256, 256)), rtol=1e-5
+    )
+
+
 def test_texture_gan_trains():
     sys_ = TextureSystem(img_size=SIZE)
     batch = texture_batch()
