@@ -10,6 +10,7 @@ Writes benchmarks/warp_optimizers.json.  Run from the repo root with
 exclusive device access (no concurrent pytest).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -30,28 +31,45 @@ from swapnet_tpu.training.optimizers import OptimizerConfig
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="warp", choices=("warp", "texture"))
+    args = ap.parse_args()
+
     batch, size, k = 8, 128, 20
     r = np.random.RandomState(0)
-    onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (batch, size, size))]
-    warp_batch = {
-        "bodys": jnp.asarray(r.randn(batch, size, size, 3).astype(np.float32)),
-        "input_cloths": jnp.asarray(onehot),
-        "target_cloths": jnp.asarray(onehot),
-    }
+    if args.model == "warp":
+        onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (batch, size, size))]
+        batch_d = {
+            "bodys": jnp.asarray(r.randn(batch, size, size, 3).astype(np.float32)),
+            "input_cloths": jnp.asarray(onehot),
+            "target_cloths": jnp.asarray(onehot),
+        }
+    else:
+        from __graft_entry__ import _texture_batch
 
-    results = {"backend": jax.default_backend(), "batch": batch, "size": size}
+        batch_d = _texture_batch(batch, size)
+
+    results = {
+        "backend": jax.default_backend(), "model": args.model,
+        "batch": batch, "size": size,
+    }
     for name in ("AdamW", "Adafactor"):
-        sys_ = WarpSystem(
-            warp_mode="gan",
+        opts = dict(
             dtype=jnp.bfloat16,
             g_opt=OptimizerConfig(name=name, lr=1e-4),
             d_opt=OptimizerConfig(name=name, lr=4e-4, weight_decay=0.01),
         )
-        state = sys_.init_state(jax.random.key(0), warp_batch)
+        if args.model == "warp":
+            sys_ = WarpSystem(warp_mode="gan", **opts)
+        else:
+            from swapnet_tpu.training import TextureSystem
+
+            sys_ = TextureSystem(img_size=size, **opts)
+        state = sys_.init_state(jax.random.key(0), batch_d)
         opt_bytes = sum(x.nbytes for x in jax.tree.leaves(state.g_opt_state))
         sec = min(
             scan_seconds_per_step(
-                lambda s: sys_.train_step(s, warp_batch)[0], state, k=k
+                lambda s: sys_.train_step(s, batch_d)[0], state, k=k
             )
             for _ in range(2)
         )
@@ -63,7 +81,10 @@ def main():
         print(name, results[name], flush=True)
         del state
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "warp_optimizers.json")
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"{args.model}_optimizers.json",
+    )
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote", out)

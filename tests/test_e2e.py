@@ -145,6 +145,52 @@ def test_texture_only_inference(checkpoints, dataroot, tmp_path_factory):
     assert len([i for i in images if i.endswith("_fakes.png")]) == N_ITEMS
 
 
+def test_cross_source_inference(checkpoints, dataroot, tmp_path_factory):
+    """The README's dir-separated swap command: clothes/textures from a
+    SOURCE tree onto bodies from a TARGET tree (reference README.md:195-200,
+    inference.py --cloth_dir/--texture_dir/--body_dir).  Pairing is by
+    sorted index across the dirs; npz names must cross source cloth ids
+    with target body ids."""
+    import shutil
+
+    source = tmp_path_factory.mktemp("source")
+    target = tmp_path_factory.mktemp("target")
+    for sub in ("cloth", "texture"):
+        os.makedirs(source / sub)
+    os.makedirs(target / "body")
+    # source: items 0-1 (cloth seg + texture); target: items 2-3 (bodies)
+    for i in (0, 1):
+        fid = f"img{i:02d}"
+        shutil.copy(dataroot / "cloth" / f"{fid}.npz", source / "cloth")
+        shutil.copy(dataroot / "texture" / f"{fid}.jpg", source / "texture")
+    for i in (2, 3):
+        fid = f"img{i:02d}"
+        shutil.copy(dataroot / "body" / f"{fid}.png", target / "body")
+    shutil.copy(dataroot / "rois.csv", source)
+    shutil.copy(dataroot / "normalization_stats.json", source)
+    shutil.copy(dataroot / "normalization_stats.json", target)
+
+    results = tmp_path_factory.mktemp("results_cross")
+    opt = TestOptions().parse(
+        print_options=False, store_options=False,
+        args=[
+            "--checkpoint", str(checkpoints),
+            "--dataroot", str(source),
+            "--cloth_dir", str(source / "cloth"),
+            "--texture_dir", str(source / "texture"),
+            "--body_dir", str(target / "body"),
+            "--results_dir", str(results),
+            "--batch_size", "2",
+        ],
+    )
+    inference_main(opt)
+
+    npzs = sorted(p for p in os.listdir(results / "warp") if p.endswith(".npz"))
+    assert npzs == ["img00_to_img02.npz", "img01_to_img03.npz"], npzs
+    images = os.listdir(results / "texture" / "images")
+    assert len([i for i in images if i.endswith("_fakes.png")]) == 2, images
+
+
 def test_continue_train(checkpoints, dataroot):
     opt = TrainOptions().parse(
         print_options=False, store_options=False,
