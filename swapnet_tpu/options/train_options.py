@@ -54,6 +54,12 @@ class TrainOptions(BaseOptions):
                             help="how often (in iterations) to save latest checkpoint")
         parser.add_argument("--save_by_iter", action="store_true",
                             help="whether saves model by iteration")
+        parser.add_argument("--ckpt_backend", default="msgpack",
+                            choices=("msgpack", "orbax"),
+                            help="checkpoint format: msgpack = reference "
+                                 "file-per-net layout; orbax = tensorstore "
+                                 "directories with per-process sharded IO "
+                                 "for multi-host training")
         parser.add_argument("--lr", "--learning_rate", type=float, default=0.01,
                             help="initial learning rate")
         parser.add_argument("--wt_decay", "--weight_decay", dest="weight_decay",

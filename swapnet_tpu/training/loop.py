@@ -41,8 +41,9 @@ class AsyncCheckpointer:
     reference round-trips every net through the CPU synchronously
     (models/base_model.py:149-173)."""
 
-    def __init__(self):
+    def __init__(self, backend: str = "msgpack"):
         self._thread = None
+        self._backend = backend
 
     def save(self, state, ckpt_dir: str, label) -> None:
         from swapnet_tpu.utils import checkpoint as ckpt
@@ -50,7 +51,8 @@ class AsyncCheckpointer:
         host_state = jax.device_get(state)
         self.wait()
         self._thread = threading.Thread(
-            target=ckpt.save_checkpoint, args=(host_state, ckpt_dir, label),
+            target=ckpt.save_checkpoint,
+            args=(host_state, ckpt_dir, label, self._backend),
             daemon=True,
         )
         self._thread.start()
@@ -131,8 +133,9 @@ def train(opt):
     for net, count in system.param_counts(state).items():
         print(f"[Network {net}] Total number of parameters : {count / 1e6:.3f} M")
 
+    ckpt_backend = getattr(opt, "ckpt_backend", "msgpack")
     if getattr(opt, "continue_train", False):
-        state = ckpt.load_checkpoint(state, ckpt_dir, opt.load_epoch)
+        state = ckpt.load_checkpoint(state, ckpt_dir, opt.load_epoch, ckpt_backend)
         print(f"loaded checkpoint '{opt.load_epoch}' from {ckpt_dir} (step {int(state.step)})")
 
     if resident is not None:
@@ -141,7 +144,7 @@ def train(opt):
         step_fn = build_resident_tick(system, preprocess, resident)
     else:
         step_fn = build_tick(system, preprocess)
-    saver = AsyncCheckpointer()
+    saver = AsyncCheckpointer(ckpt_backend)
 
     profile_dir = getattr(opt, "profile_dir", None)
     profile_steps = getattr(opt, "profile_steps", 0)
@@ -162,7 +165,7 @@ def train(opt):
         print("interrupted — saving latest checkpoint")
         saver.wait()
         try:
-            ckpt.save_checkpoint(box["state"], ckpt_dir, "latest")
+            ckpt.save_checkpoint(box["state"], ckpt_dir, "latest", ckpt_backend)
         except RuntimeError as e:
             print(f"could not save interrupt checkpoint ({e}); "
                   "state buffers were in flight")
@@ -257,8 +260,9 @@ def _train_epochs(
         if opt.checkpoint_freq and epoch % opt.checkpoint_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
             saver.wait()
-            ckpt.save_checkpoint(state, ckpt_dir, "latest")
-            ckpt.save_checkpoint(state, ckpt_dir, epoch)
+            backend = getattr(opt, "ckpt_backend", "msgpack")
+            ckpt.save_checkpoint(state, ckpt_dir, "latest", backend)
+            ckpt.save_checkpoint(state, ckpt_dir, epoch, backend)
 
     if profiling:  # run ended before the stop step
         jax.profiler.stop_trace()

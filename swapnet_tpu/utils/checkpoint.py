@@ -8,6 +8,11 @@ with label in {epoch number, "latest", "iter_N"} and args.json alongside.
 Here the same layout with flax msgpack payloads (.msgpack) plus a small
 {label}_state.json for step/rng.  ``load_generator_weights`` restores just
 the generator for inference, like the reference's load_model_weights.
+
+``--ckpt_backend orbax`` switches to orbax/tensorstore directories
+({ckpt_dir}/orbax/{label}/) — at multi-host scale each process writes and
+reads only its own array shards, and restore places arrays directly onto
+the template state's shardings.
 """
 
 from __future__ import annotations
@@ -34,7 +39,75 @@ def _read(path: str, template):
         return serialization.from_bytes(template, f.read())
 
 
-def save_checkpoint(state: GANTrainState, ckpt_dir: str, label) -> None:
+def _orbax_dir(ckpt_dir: str, label) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), "orbax", str(label))
+
+
+def _orbax_payload(state: GANTrainState) -> dict:
+    """Flat dict-of-pytrees view of the state for orbax (PRNG keys are not
+    serializable directly; store the raw key data)."""
+    payload = {
+        "g_params": state.g_params,
+        "g_opt_state": state.g_opt_state,
+        "step": state.step,
+        "rng": jax.random.key_data(state.rng),
+    }
+    if state.g_extra:
+        payload["g_extra"] = state.g_extra
+    if state.d_params is not None:
+        payload["d_params"] = state.d_params
+        payload["d_opt_state"] = state.d_opt_state
+        if state.d_extra:
+            payload["d_extra"] = state.d_extra
+    if state.frozen is not None:
+        payload["frozen"] = state.frozen
+    return payload
+
+
+def save_checkpoint_orbax(state: GANTrainState, ckpt_dir: str, label) -> None:
+    """Orbax backend (--ckpt_backend orbax): one directory per label with
+    tensorstore array files.  At multi-host scale each process writes only
+    its own shards of a sharded array — the msgpack backend would gather
+    everything to host 0.  Layout: {ckpt_dir}/orbax/{label}/ alongside the
+    reference-layout files' location."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as cp:
+        cp.save(_orbax_dir(ckpt_dir, label), _orbax_payload(state), force=True)
+
+
+def load_checkpoint_orbax(state: GANTrainState, ckpt_dir: str, label) -> GANTrainState:
+    """Restore from the orbax layout into the (template) ``state``.  The
+    template's array shardings are preserved: restored arrays land directly
+    on the template's devices."""
+    import orbax.checkpoint as ocp
+
+    template = _orbax_payload(state)
+    with ocp.StandardCheckpointer() as cp:
+        restored = cp.restore(_orbax_dir(ckpt_dir, label), template)
+    updates = dict(
+        g_params=restored["g_params"],
+        g_opt_state=restored["g_opt_state"],
+        step=jnp.asarray(restored["step"], jnp.int32),
+        rng=jax.random.wrap_key_data(jnp.asarray(restored["rng"], jnp.uint32)),
+    )
+    if "g_extra" in restored:
+        updates["g_extra"] = restored["g_extra"]
+    if "d_params" in restored and state.d_params is not None:
+        updates["d_params"] = restored["d_params"]
+        updates["d_opt_state"] = restored["d_opt_state"]
+        if "d_extra" in restored:
+            updates["d_extra"] = restored["d_extra"]
+    if "frozen" in restored and state.frozen is not None:
+        updates["frozen"] = restored["frozen"]
+    return state.replace(**updates)
+
+
+def save_checkpoint(
+    state: GANTrainState, ckpt_dir: str, label, backend: str = "msgpack"
+) -> None:
+    if backend == "orbax":
+        return save_checkpoint_orbax(state, ckpt_dir, label)
     os.makedirs(ckpt_dir, exist_ok=True)
     state = jax.device_get(state)
     _write(os.path.join(ckpt_dir, f"{label}_net_generator.msgpack"), state.g_params)
@@ -56,8 +129,12 @@ def save_checkpoint(state: GANTrainState, ckpt_dir: str, label) -> None:
         json.dump(meta, f)
 
 
-def load_checkpoint(state: GANTrainState, ckpt_dir: str, label) -> GANTrainState:
+def load_checkpoint(
+    state: GANTrainState, ckpt_dir: str, label, backend: str = "msgpack"
+) -> GANTrainState:
     """Restore a full training state into the (template) ``state``."""
+    if backend == "orbax":
+        return load_checkpoint_orbax(state, ckpt_dir, label)
     g_params = _read(
         os.path.join(ckpt_dir, f"{label}_net_generator.msgpack"), state.g_params
     )
@@ -107,6 +184,14 @@ def load_generator_weights(ckpt_dir: str, label, g_params_template, g_extra_temp
             from swapnet_tpu.utils import porter
 
             return porter.port_generator_pth(pth, g_params_template, g_extra_template)
+        if os.path.isdir(_orbax_dir(ckpt_dir, label)):
+            import orbax.checkpoint as ocp
+
+            # template-free restore: we only need g_params/g_extra and the
+            # full state template (opt states etc.) is not available here
+            with ocp.StandardCheckpointer() as cp:
+                restored = cp.restore(_orbax_dir(ckpt_dir, label))
+            return restored["g_params"], restored.get("g_extra", g_extra_template)
         raise FileNotFoundError(path)
     g_params = _read(path, g_params_template)
     g_extra = g_extra_template

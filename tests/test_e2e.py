@@ -210,6 +210,36 @@ def test_continue_train(checkpoints, dataroot):
     assert int(state.step) == 4
 
 
+def test_orbax_backend_training_e2e(dataroot, tmp_path_factory):
+    """--ckpt_backend orbax: the loop writes tensorstore checkpoint dirs
+    (async saver + end-of-epoch saves) and --continue_train resumes from
+    them."""
+    ckpts = tmp_path_factory.mktemp("orbax_ckpts")
+    common = [
+        "--model", "warp", "--name", "warp", "--warp_mode", "ce",
+        "--dataroot", str(dataroot),
+        "--checkpoints_dir", str(ckpts),
+        "--load_size", str(SIZE), "--crop_size", str(SIZE),
+        "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+        "--latest_checkpoint_freq", "2", "--print_freq", "1000",
+        "--display_freq", "1000", "--compute_dtype", "float32",
+        "--ckpt_backend", "orbax",
+    ]
+    opt = TrainOptions().parse(print_options=False, args=common)
+    train(opt)
+    warp_dir = ckpts / "warp"
+    assert (warp_dir / "orbax" / "latest").is_dir()
+    assert (warp_dir / "orbax" / "1").is_dir()
+    assert not (warp_dir / "latest_net_generator.msgpack").exists()
+
+    opt = TrainOptions().parse(
+        print_options=False, store_options=False,
+        args=common + ["--continue_train", "--load_epoch", "latest"],
+    )
+    state = train(opt)
+    assert int(state.step) == 4  # resumed from 2 + 2 more batches
+
+
 def test_video_mode_training(dataroot, tmp_path_factory):
     """--dataset_mode video trains end-to-end: the input cloth is a random
     other frame (temporal augmentation, reference warp_dataset.py:97-107)."""

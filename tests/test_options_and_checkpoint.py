@@ -115,6 +115,43 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(float(m1["loss_G"]), float(m2["loss_G"]), rtol=1e-6)
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """--ckpt_backend orbax: tensorstore layout, full-state round trip, and
+    restore-onto-sharding (the restored arrays land on the template's
+    devices/sharding — the point of the backend at multi-host scale)."""
+    from swapnet_tpu.parallel import create_mesh, replicated_sharding
+
+    system = WarpSystem(warp_mode="gan")
+    batch = _tiny_batch()
+    state = system.init_state(jax.random.key(0), batch)
+    state, _ = jax.jit(system.train_step)(state, batch)
+    ckpt.save_checkpoint(state, str(tmp_path), "latest", backend="orbax")
+    assert (tmp_path / "orbax" / "latest").is_dir()
+
+    mesh = create_mesh(space=1)
+    fresh = system.init_state(jax.random.key(1), batch)
+    fresh = jax.device_put(fresh, replicated_sharding(mesh))
+    restored = ckpt.load_checkpoint(fresh, str(tmp_path), "latest", backend="orbax")
+    assert int(restored.step) == 1
+    leaf = jax.tree.leaves(restored.g_params)[0]
+    assert leaf.sharding == replicated_sharding(mesh), leaf.sharding
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.d_opt_state), jax.tree.leaves(restored.d_opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # rng restored -> identical next step
+    s1, m1 = jax.jit(system.train_step)(state, batch)
+    s2, m2 = jax.jit(system.train_step)(restored, batch)
+    np.testing.assert_allclose(float(m1["loss_G"]), float(m2["loss_G"]), rtol=1e-6)
+
+    # generator-only restore path (inference) from the orbax layout
+    g_params, _ = ckpt.load_generator_weights(
+        str(tmp_path), "latest", jax.device_get(state.g_params)
+    )
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_adabound_optimizer_steps():
     tx = adabound(lr=1e-3, final_lr=0.1)
     params = {"w": jnp.ones((4, 4))}
