@@ -1,13 +1,15 @@
-"""Warp-stage GAN training throughput: AdamW vs Adafactor (factored nu).
+"""GAN training throughput per stage: AdamW vs Adafactor (factored nu).
 
-The warp step is compulsory-bytes bound on its 137M-param generator
-(benchmarks/roofline_warp.json): params f32 r/w + mu bf16 r/w + nu f32 r/w
-is ~2.8 GB/step for AdamW.  Adafactor stores the second moment factored
-(row/col means, Shazeer & Stern 2018), cutting nu traffic from ~1.1 GB to
-~KBs.  This measures the realized step-time win on the actual device.
+``--model warp`` (default): the warp step is compulsory-bytes bound on its
+137M-param generator (benchmarks/roofline_warp.json): params f32 r/w + mu
+bf16 r/w + nu f32 r/w is ~2.8 GB/step for AdamW.  Adafactor stores the
+second moment factored (row/col means, Shazeer & Stern 2018), cutting nu
+traffic from ~1.1 GB to ~KBs.  ``--model texture`` runs the same A/B on
+the texture stage (smaller params, activation-dominated — expect a smaller
+delta).  This measures the realized step-time win on the actual device.
 
-Writes benchmarks/warp_optimizers.json.  Run from the repo root with
-exclusive device access (no concurrent pytest).
+Writes benchmarks/{warp|texture}_optimizers.json.  Run from the repo root
+with exclusive device access (no concurrent pytest).
 """
 
 import argparse

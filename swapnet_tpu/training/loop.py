@@ -36,25 +36,35 @@ from swapnet_tpu.data.loader import array_part as _array_part  # noqa: E402
 
 
 class AsyncCheckpointer:
-    """Overlap checkpoint serialization with training: device_get happens
-    on the caller (cheap, one sync), file IO on a worker thread.  The
-    reference round-trips every net through the CPU synchronously
+    """Overlap checkpoint serialization with training.  msgpack backend:
+    device_get on the caller (cheap, one sync), file IO on a worker thread.
+    orbax backend: the state is handed over with its device arrays intact;
+    save_checkpoint_orbax gathers to host itself when single-process and
+    keeps device arrays at multi-host scale (device_get would gather
+    shards spanning non-addressable devices — a crash — and defeat
+    orbax's per-process sharded IO).  The commit (tensorstore wait +
+    atomic label swap) runs on the worker thread.  The reference
+    round-trips every net through the CPU synchronously
     (models/base_model.py:149-173)."""
 
     def __init__(self, backend: str = "msgpack"):
         self._thread = None
-        self._backend = backend
+        self.backend = backend
 
     def save(self, state, ckpt_dir: str, label) -> None:
         from swapnet_tpu.utils import checkpoint as ckpt
 
-        host_state = jax.device_get(state)
         self.wait()
-        self._thread = threading.Thread(
-            target=ckpt.save_checkpoint,
-            args=(host_state, ckpt_dir, label, self._backend),
-            daemon=True,
-        )
+        if self.backend == "orbax":
+            commit = ckpt.save_checkpoint_orbax(state, ckpt_dir, label, wait=False)
+            self._thread = threading.Thread(target=commit, daemon=True)
+        else:
+            host_state = jax.device_get(state)
+            self._thread = threading.Thread(
+                target=ckpt.save_checkpoint,
+                args=(host_state, ckpt_dir, label, self.backend),
+                daemon=True,
+            )
         self._thread.start()
 
     def wait(self) -> None:
@@ -93,11 +103,12 @@ def train(opt):
     visualizer = Visualizer(opt)
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.name)
 
-    n_dp = opt.data_parallel or len(jax.devices())
-    n_dp = min(n_dp, len(jax.devices()))
+    n_model = max(1, getattr(opt, "shard_params", 1))
+    n_dp = opt.data_parallel or len(jax.devices()) // n_model
+    n_dp = min(n_dp, len(jax.devices()) // n_model)
     while opt.batch_size % n_dp:
         n_dp -= 1
-    mesh = create_mesh(jax.devices()[:n_dp])
+    mesh = create_mesh(jax.devices()[: n_dp * n_model], data=n_dp, model=n_model)
     repl = replicated_sharding(mesh)
     data_sh = batch_sharding(mesh)
 
@@ -128,7 +139,12 @@ def train(opt):
     rng, r_pre, r_init = jax.random.split(rng, 3)
     model_batch = preprocess(r_pre, first_arrays)
     state = system.init_state(r_init, model_batch)
-    state = jax.device_put(state, repl)
+    if n_model > 1:
+        from swapnet_tpu.parallel import state_sharding
+
+        state = jax.device_put(state, state_sharding(mesh, state))
+    else:
+        state = jax.device_put(state, repl)
 
     for net, count in system.param_counts(state).items():
         print(f"[Network {net}] Total number of parameters : {count / 1e6:.3f} M")
@@ -137,6 +153,13 @@ def train(opt):
     if getattr(opt, "continue_train", False):
         state = ckpt.load_checkpoint(state, ckpt_dir, opt.load_epoch, ckpt_backend)
         print(f"loaded checkpoint '{opt.load_epoch}' from {ckpt_dir} (step {int(state.step)})")
+        if n_model > 1:
+            # msgpack restore returns host arrays; re-pin them onto the
+            # model-sharded placement so the jitted step doesn't fall back
+            # to XLA's default (replicated) layout for restored leaves
+            from swapnet_tpu.parallel import state_sharding
+
+            state = jax.device_put(state, state_sharding(mesh, state))
 
     if resident is not None:
         from swapnet_tpu.data.device_cache import build_resident_tick
@@ -260,9 +283,8 @@ def _train_epochs(
         if opt.checkpoint_freq and epoch % opt.checkpoint_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
             saver.wait()
-            backend = getattr(opt, "ckpt_backend", "msgpack")
-            ckpt.save_checkpoint(state, ckpt_dir, "latest", backend)
-            ckpt.save_checkpoint(state, ckpt_dir, epoch, backend)
+            ckpt.save_checkpoint(state, ckpt_dir, "latest", saver.backend)
+            ckpt.save_checkpoint(state, ckpt_dir, epoch, saver.backend)
 
     if profiling:  # run ended before the stop step
         jax.profiler.stop_trace()

@@ -64,27 +64,123 @@ def _orbax_payload(state: GANTrainState) -> dict:
     return payload
 
 
-def save_checkpoint_orbax(state: GANTrainState, ckpt_dir: str, label) -> None:
+_ORBAX_CP = None
+
+
+def _orbax_checkpointer():
+    """One process-wide StandardCheckpointer, reused across saves/restores.
+    Constructing one per call would spin up (and in multi-process mode,
+    barrier-sync) orbax's async machinery every checkpoint; reusing it also
+    lets saves overlap training — ``save`` returns once the per-process
+    array shards are copied to host, and tensorstore IO completes in the
+    background (``wait_until_finished`` / the returned commit closure)."""
+    global _ORBAX_CP
+    if _ORBAX_CP is None:
+        import atexit
+
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CP = ocp.StandardCheckpointer()
+        atexit.register(_ORBAX_CP.wait_until_finished)
+    return _ORBAX_CP
+
+
+def _orbax_swap_into_place(ckpt_dir: str, label) -> None:
+    """Move {orbax}/.tmp.{label} over {orbax}/{label} without ever deleting
+    the old checkpoint before the new one is fully committed (orbax's own
+    ``force=True`` rmtree's first — a preemption mid-write would then leave
+    NO recoverable 'latest').  Crash windows here leave either the old dir
+    at its name or at .old.{label}, both of which the loaders accept."""
+    import shutil
+
+    tmp, final = _orbax_dir(ckpt_dir, f".tmp.{label}"), _orbax_dir(ckpt_dir, label)
+    stale = _orbax_dir(ckpt_dir, f".old.{label}")
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+    if os.path.isdir(final):
+        os.rename(final, stale)
+    os.rename(tmp, final)
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+
+
+def _orbax_find(ckpt_dir: str, label) -> Optional[str]:
+    """Resolve a label to its orbax directory, falling back to the
+    .old.{label} crash-window copy left by an interrupted swap."""
+    final = _orbax_dir(ckpt_dir, label)
+    if os.path.isdir(final):
+        return final
+    stale = _orbax_dir(ckpt_dir, f".old.{label}")
+    if os.path.isdir(stale):
+        return stale
+    return None
+
+
+def save_checkpoint_orbax(state: GANTrainState, ckpt_dir: str, label, wait: bool = True):
     """Orbax backend (--ckpt_backend orbax): one directory per label with
     tensorstore array files.  At multi-host scale each process writes only
     its own shards of a sharded array — the msgpack backend would gather
-    everything to host 0.  Layout: {ckpt_dir}/orbax/{label}/ alongside the
-    reference-layout files' location."""
-    import orbax.checkpoint as ocp
+    everything to host 0 — so ``state`` must be passed with its device
+    arrays intact (no ``jax.device_get``).  Layout: {ckpt_dir}/orbax/{label}/
+    alongside the reference-layout files' location.
 
-    with ocp.StandardCheckpointer() as cp:
-        cp.save(_orbax_dir(ckpt_dir, label), _orbax_payload(state), force=True)
+    The write is crash-safe: it lands in .tmp.{label} and is swapped over
+    the previous {label} only after orbax commits.  With ``wait=False`` the
+    call returns a commit closure once device shards are snapshotted to
+    host; the caller runs the closure (IO wait + swap) off-thread."""
+    import shutil
+
+    tmp = _orbax_dir(ckpt_dir, f".tmp.{label}")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed earlier attempt
+    cp = _orbax_checkpointer()
+    cp.wait_until_finished()  # serialize with any in-flight save
+    payload = _orbax_payload(state)
+    if jax.process_count() == 1:
+        # Single process: gather to host ourselves — it's the same D2H
+        # orbax's snapshot would do, and orbax's own background-thread
+        # copy deadlocks on the experimental axon runtime (verified: a
+        # 4 MB device array never completes).  Multi-process keeps the
+        # device arrays so each process writes only its own shards.
+        payload = jax.device_get(payload)
+    cp.save(tmp, payload)
+
+    def commit() -> None:
+        cp.wait_until_finished()
+        _orbax_swap_into_place(ckpt_dir, label)
+
+    if wait:
+        commit()
+        return None
+    return commit
 
 
 def load_checkpoint_orbax(state: GANTrainState, ckpt_dir: str, label) -> GANTrainState:
     """Restore from the orbax layout into the (template) ``state``.  The
-    template's array shardings are preserved: restored arrays land directly
-    on the template's devices."""
+    template's array shardings are preserved (via per-leaf restore args):
+    restored arrays land directly on the template's devices.
+
+    Tolerant of optional-component mismatch like the msgpack path: only the
+    top-level entries present BOTH on disk and in the template are restored
+    (e.g. resuming a --warp_mode ce checkpoint into a gan-mode state leaves
+    the fresh d_params/d_opt_state untouched)."""
     import orbax.checkpoint as ocp
 
-    template = _orbax_payload(state)
-    with ocp.StandardCheckpointer() as cp:
-        restored = cp.restore(_orbax_dir(ckpt_dir, label), template)
+    path = _orbax_find(ckpt_dir, label)
+    if path is None:
+        raise FileNotFoundError(_orbax_dir(ckpt_dir, label))
+    cp = _orbax_checkpointer()
+    cp.wait_until_finished()
+    disk_keys = set(cp.metadata(path).item_metadata.keys())
+    template = {k: v for k, v in _orbax_payload(state).items() if k in disk_keys}
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as loader:
+        restored = loader.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=template, restore_args=restore_args, partial_restore=True
+            ),
+        )
     updates = dict(
         g_params=restored["g_params"],
         g_opt_state=restored["g_opt_state"],
@@ -184,13 +280,30 @@ def load_generator_weights(ckpt_dir: str, label, g_params_template, g_extra_temp
             from swapnet_tpu.utils import porter
 
             return porter.port_generator_pth(pth, g_params_template, g_extra_template)
-        if os.path.isdir(_orbax_dir(ckpt_dir, label)):
+        orbax_path = _orbax_find(ckpt_dir, label)
+        if orbax_path is not None:
             import orbax.checkpoint as ocp
 
-            # template-free restore: we only need g_params/g_extra and the
-            # full state template (opt states etc.) is not available here
-            with ocp.StandardCheckpointer() as cp:
-                restored = cp.restore(_orbax_dir(ckpt_dir, label))
+            # partial restore of ONLY the generator subtrees — pulling the
+            # full training state (both optimizer moments, discriminator,
+            # frozen VGG) would read hundreds of extra MB at inference
+            # cold-start just to throw them away
+            cp = _orbax_checkpointer()
+            cp.wait_until_finished()
+            disk_keys = set(cp.metadata(orbax_path).item_metadata.keys())
+            template = {"g_params": g_params_template}
+            if g_extra_template and "g_extra" in disk_keys:
+                template["g_extra"] = g_extra_template
+            restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as loader:
+                restored = loader.restore(
+                    orbax_path,
+                    args=ocp.args.PyTreeRestore(
+                        item=template,
+                        restore_args=restore_args,
+                        partial_restore=True,
+                    ),
+                )
             return restored["g_params"], restored.get("g_extra", g_extra_template)
         raise FileNotFoundError(path)
     g_params = _read(path, g_params_template)

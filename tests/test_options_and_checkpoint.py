@@ -152,6 +152,76 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_cross_mode_tolerant_restore(tmp_path):
+    """Resuming a --warp_mode ce checkpoint (no discriminator) into a
+    gan-mode state must restore G and leave the fresh D untouched, matching
+    the msgpack backend's optional-component tolerance (checkpoint.py:150-159)."""
+    batch = _tiny_batch()
+    ce_state = WarpSystem(warp_mode="ce").init_state(jax.random.key(0), batch)
+    ce_state, _ = jax.jit(WarpSystem(warp_mode="ce").train_step)(ce_state, batch)
+    assert ce_state.d_params is None
+    ckpt.save_checkpoint(ce_state, str(tmp_path), "latest", backend="orbax")
+
+    gan_system = WarpSystem(warp_mode="gan")
+    gan_state = gan_system.init_state(jax.random.key(1), batch)
+    restored = ckpt.load_checkpoint(gan_state, str(tmp_path), "latest", backend="orbax")
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(ce_state.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # discriminator kept from the fresh init (not on disk)
+    for a, b in zip(jax.tree.leaves(gan_state.d_params), jax.tree.leaves(restored.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the merged state trains
+    _, metrics = jax.jit(gan_system.train_step)(restored, batch)
+    assert np.isfinite(float(metrics["loss_G"]))
+
+
+def test_orbax_overwrite_is_atomic(tmp_path):
+    """Re-saving 'latest' must never delete the old checkpoint before the
+    new one is committed; an interrupted swap (dir parked at .old.latest)
+    must still be loadable."""
+    import os
+
+    system = WarpSystem(warp_mode="ce")
+    batch = _tiny_batch()
+    state = system.init_state(jax.random.key(0), batch)
+    ckpt.save_checkpoint(state, str(tmp_path), "latest", backend="orbax")
+    state, _ = jax.jit(system.train_step)(state, batch)
+    ckpt.save_checkpoint(state, str(tmp_path), "latest", backend="orbax")  # overwrite
+    fresh = system.init_state(jax.random.key(1), batch)
+    restored = ckpt.load_checkpoint(fresh, str(tmp_path), "latest", backend="orbax")
+    assert int(restored.step) == 1
+    assert not (tmp_path / "orbax" / ".tmp.latest").exists()
+    assert not (tmp_path / "orbax" / ".old.latest").exists()
+
+    # simulate a crash between the two renames of the swap
+    os.rename(tmp_path / "orbax" / "latest", tmp_path / "orbax" / ".old.latest")
+    restored = ckpt.load_checkpoint(fresh, str(tmp_path), "latest", backend="orbax")
+    assert int(restored.step) == 1
+    g_params, _ = ckpt.load_generator_weights(
+        str(tmp_path), "latest", jax.device_get(state.g_params)
+    )
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_async_commit_closure(tmp_path):
+    """save_checkpoint_orbax(wait=False) returns a commit closure; the
+    checkpoint appears at its label only after commit() (the loop runs the
+    closure on the AsyncCheckpointer worker thread)."""
+    system = WarpSystem(warp_mode="ce")
+    batch = _tiny_batch()
+    state = system.init_state(jax.random.key(0), batch)
+    commit = ckpt.save_checkpoint_orbax(state, str(tmp_path), "latest", wait=False)
+    assert commit is not None
+    commit()
+    assert (tmp_path / "orbax" / "latest").is_dir()
+    fresh = system.init_state(jax.random.key(1), batch)
+    restored = ckpt.load_checkpoint(fresh, str(tmp_path), "latest", backend="orbax")
+    for a, b in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_adabound_optimizer_steps():
     tx = adabound(lr=1e-3, final_lr=0.1)
     params = {"w": jnp.ones((4, 4))}
