@@ -129,6 +129,10 @@ class BaseOptions:
         parser.add_argument("--data_parallel", type=int, default=0,
                             help="number of devices for data parallelism "
                                  "(0 = all available)")
+        parser.add_argument("--shard_params", type=int, default=1,
+                            help="size of the mesh 'model' axis: shard "
+                                 "parameters + optimizer state over this many "
+                                 "devices (FSDP/ZeRO-3 analog; 1 = replicate)")
 
         self._parser = parser
         self.is_train = None

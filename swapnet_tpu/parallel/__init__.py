@@ -3,6 +3,13 @@ from swapnet_tpu.parallel.mesh import (
     create_mesh,
     replicated_sharding,
     shard_batch,
+    state_sharding,
 )
 
-__all__ = ["create_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "state_sharding",
+]

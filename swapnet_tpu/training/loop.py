@@ -103,9 +103,9 @@ def train(opt):
     visualizer = Visualizer(opt)
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.name)
 
-    n_model = max(1, getattr(opt, "shard_params", 1))
+    n_model = min(max(1, getattr(opt, "shard_params", 1)), len(jax.devices()))
     n_dp = opt.data_parallel or len(jax.devices()) // n_model
-    n_dp = min(n_dp, len(jax.devices()) // n_model)
+    n_dp = max(1, min(n_dp, len(jax.devices()) // n_model))
     while opt.batch_size % n_dp:
         n_dp -= 1
     mesh = create_mesh(jax.devices()[: n_dp * n_model], data=n_dp, model=n_model)

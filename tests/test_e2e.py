@@ -5,6 +5,7 @@ HTML galleries (the reference's full product path, SURVEY.md §3.1/§3.3)."""
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 from PIL import Image
@@ -283,3 +284,30 @@ def test_cache_device_training_e2e(dataroot, tmp_path_factory):
     state = train(opt)
     assert int(state.step) == N_ITEMS  # 2 epochs x 2 steps
     assert (ckpts / "warp_res" / "latest_net_generator.msgpack").exists()
+
+
+def test_shard_params_training_e2e(dataroot, tmp_path_factory):
+    """--shard_params 2 trains through the FSDP placement end-to-end on the
+    8-device CPU mesh (params + optimizer moments split over "model",
+    batch over "data")."""
+    ckpts = tmp_path_factory.mktemp("fsdp_ckpts")
+    opt = TrainOptions().parse(
+        print_options=False,
+        args=[
+            "--model", "warp", "--name", "warp_fsdp", "--warp_mode", "ce",
+            "--shard_params", "2", "--data_parallel", "2",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(ckpts),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+            "--latest_checkpoint_freq", "0", "--print_freq", "2",
+            "--display_freq", "0", "--num_workers", "2",
+            "--compute_dtype", "float32",
+        ],
+    )
+    state = train(opt)
+    assert int(state.step) == N_ITEMS // 2
+    # a sharded leaf really is split over the "model" axis
+    k = next(x for x in jax.tree.leaves(state.g_params) if getattr(x, "ndim", 0) == 4)
+    assert len(k.sharding.device_set) >= 2
+    assert (ckpts / "warp_fsdp" / "latest_net_generator.msgpack").exists()

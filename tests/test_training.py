@@ -192,6 +192,59 @@ def test_warp_ce_data_parallel_8dev():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=3e-4)
 
 
+def test_warp_ce_model_sharded_params_8dev():
+    """(data=4, model=2) mesh: batch sharded on "data", parameters +
+    optimizer moments split over "model" (FSDP/ZeRO-3 analog).  Must
+    reproduce the single-device step: XLA inserts the weight all-gathers /
+    grad reduce-scatters itself."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from swapnet_tpu.parallel import state_sharding
+
+    mesh = create_mesh(data=4, model=2)
+    sys_ = WarpSystem(warp_mode="ce")
+    batch = warp_batch(b=4)
+    state = sys_.init_state(jax.random.key(0), batch)
+
+    state_sh = state_sharding(mesh, state)
+    # spot-check the rule: conv kernels split their channel axis, the step
+    # counter stays replicated
+    kernel_sh = [
+        s for x, s in zip(jax.tree.leaves(state.g_params), jax.tree.leaves(state_sh))
+        if getattr(x, "ndim", 0) == 4
+    ]
+    assert any(s.spec == P(None, None, None, "model") for s in kernel_sh)
+    assert jax.tree.leaves(state_sharding(mesh, {"step": state.step}))[0].spec == P()
+    state = jax.device_put(state, state_sh)
+
+    img_sh = NamedSharding(mesh, P("data"))
+    batch_shs = {k: img_sh for k in batch}
+    sharded = {k: jax.device_put(v, img_sh) for k, v in batch.items()}
+
+    step = jax.jit(
+        sys_.train_step, in_shardings=(state_sh, batch_shs), donate_argnums=0
+    )
+    state, m = step(state, sharded)
+    assert np.isfinite(float(m["loss_G"]))
+
+    sys2 = WarpSystem(warp_mode="ce")
+    state2 = sys2.init_state(jax.random.key(0), batch)
+    state2, m2 = jax.jit(sys2.train_step)(state2, batch)
+    np.testing.assert_allclose(float(m["loss_G"]), float(m2["loss_G"]), rtol=1e-4)
+    p1 = jax.tree.leaves(state.g_params)[0]
+    p2 = jax.tree.leaves(state2.g_params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=3e-4)
+
+
+def test_space_plus_model_mesh_refused():
+    """XLA SPMD miscompiles H-sharded convs with channel-sharded weights
+    (wrong numerics, forward and vjp — repro documented in
+    parallel/mesh.py); the mesh factory must refuse the combination
+    instead of returning wrong math."""
+    with pytest.raises(ValueError, match="space.*model|model.*space"):
+        create_mesh(data=2, space=2, model=2)
+
+
 def test_init_state_survives_donated_sibling():
     """Two states from ONE system: donating the first into train_step must
     not delete the second's frozen aux buffers (regression: shared
