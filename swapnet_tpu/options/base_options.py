@@ -133,6 +133,17 @@ class BaseOptions:
                             help="size of the mesh 'model' axis: shard "
                                  "parameters + optimizer state over this many "
                                  "devices (FSDP/ZeRO-3 analog; 1 = replicate)")
+        parser.add_argument("--decode_backend", default="pil",
+                            choices=("pil", "native", "draft"),
+                            help="image decode path: pil (exact reference "
+                                 "numerics), native (C++ libjpeg/libpng + "
+                                 "PIL-compatible resample, ±1/255), draft "
+                                 "(native + JPEG DCT-scaled decode, fastest)")
+        parser.add_argument("--dcn_slices", type=int, default=1,
+                            help="number of DCN-connected TPU slices: adds an "
+                                 "outermost mesh 'slice' axis for multi-slice "
+                                 "data parallelism; only the per-step gradient "
+                                 "all-reduce crosses DCN (1 = single slice)")
 
         self._parser = parser
         self.is_train = None

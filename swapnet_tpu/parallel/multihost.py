@@ -27,9 +27,15 @@ def local_batch_slice(global_len: int) -> slice:
     return slice(i * per, (i + 1) * per)
 
 
-def global_batch_from_local(local_batch, mesh: Mesh, spec: P = P("data")):
+def global_batch_from_local(local_batch, mesh: Mesh, spec: P = None):
     """Assemble a global batch-sharded array pytree from process-local
-    numpy data (jax.make_array_from_process_local_data)."""
+    numpy data (jax.make_array_from_process_local_data).  Default spec
+    shards dim 0 over the mesh's data axes (("slice","data") when the
+    mesh is multi-slice, else "data")."""
+    if spec is None:
+        from swapnet_tpu.parallel.mesh import data_axes
+
+        spec = P(data_axes(mesh))
     sharding = NamedSharding(mesh, spec)
 
     def put(x):

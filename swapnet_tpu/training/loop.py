@@ -103,12 +103,23 @@ def train(opt):
     visualizer = Visualizer(opt)
     ckpt_dir = os.path.join(opt.checkpoints_dir, opt.name)
 
-    n_model = min(max(1, getattr(opt, "shard_params", 1)), len(jax.devices()))
-    n_dp = opt.data_parallel or len(jax.devices()) // n_model
-    n_dp = max(1, min(n_dp, len(jax.devices()) // n_model))
-    while opt.batch_size % n_dp:
+    n_slice = min(max(1, getattr(opt, "dcn_slices", 1)), len(jax.devices()))
+    n_model = min(max(1, getattr(opt, "shard_params", 1)),
+                  len(jax.devices()) // n_slice)
+    n_dp = opt.data_parallel or len(jax.devices()) // (n_model * n_slice)
+    n_dp = max(1, min(n_dp, len(jax.devices()) // (n_model * n_slice)))
+    # batch dim is sharded over slice*data devices
+    while n_dp > 1 and opt.batch_size % (n_dp * n_slice):
         n_dp -= 1
-    mesh = create_mesh(jax.devices()[: n_dp * n_model], data=n_dp, model=n_model)
+    if opt.batch_size % (n_dp * n_slice):
+        raise ValueError(
+            f"--batch_size {opt.batch_size} not divisible by "
+            f"--dcn_slices {n_slice}"
+        )
+    mesh = create_mesh(
+        jax.devices()[: n_slice * n_dp * n_model],
+        data=n_dp, model=n_model, slices=n_slice,
+    )
     repl = replicated_sharding(mesh)
     data_sh = batch_sharding(mesh)
 

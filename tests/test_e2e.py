@@ -286,6 +286,31 @@ def test_cache_device_training_e2e(dataroot, tmp_path_factory):
     assert (ckpts / "warp_res" / "latest_net_generator.msgpack").exists()
 
 
+def test_dcn_slices_training_e2e(dataroot, tmp_path_factory):
+    """--dcn_slices 2 trains through the multi-slice mesh end-to-end on
+    the 8-device CPU mesh (batch sharded over ("slice","data"), params
+    replicated; the grad all-reduce over "slice" is the DCN hop on real
+    hardware)."""
+    ckpts = tmp_path_factory.mktemp("slice_ckpts")
+    opt = TrainOptions().parse(
+        print_options=False,
+        args=[
+            "--model", "warp", "--name", "warp_slice", "--warp_mode", "ce",
+            "--dcn_slices", "2", "--data_parallel", "1",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(ckpts),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+            "--latest_checkpoint_freq", "0", "--print_freq", "2",
+            "--display_freq", "0", "--num_workers", "2",
+            "--compute_dtype", "float32",
+        ],
+    )
+    state = train(opt)
+    assert int(state.step) == N_ITEMS // 2
+    assert (ckpts / "warp_slice" / "latest_net_generator.msgpack").exists()
+
+
 def test_shard_params_training_e2e(dataroot, tmp_path_factory):
     """--shard_params 2 trains through the FSDP placement end-to-end on the
     8-device CPU mesh (params + optimizer moments split over "model",

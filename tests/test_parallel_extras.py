@@ -43,6 +43,49 @@ def test_spatial_sharding_conv_halo():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_multi_slice_mesh_dp():
+    """slices=2 x data=4 mesh: batch sharded over ("slice","data") must
+    give the same gradients as single-device — the psum over the "slice"
+    axis (the only DCN-crossing collective on real hardware) is
+    numerically plain data parallelism."""
+    from jax.sharding import NamedSharding
+
+    from swapnet_tpu.parallel import data_axes, replicated_sharding
+
+    mesh = create_mesh(slices=2)
+    assert mesh.axis_names == ("slice", "data", "space", "model")
+    assert mesh.shape["slice"] == 2 and mesh.shape["data"] == 4
+    assert data_axes(mesh) == ("slice", "data")
+    assert batch_sharding(mesh).spec == P(("slice", "data"))
+    # single-slice meshes keep their 3-axis spec surface unchanged
+    assert batch_sharding(create_mesh()).spec == P("data")
+
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 8, 8, 4).astype(np.float32))
+    k = jnp.asarray(np.random.RandomState(1).randn(3, 3, 4, 4).astype(np.float32))
+
+    def loss(k, x):
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.mean(y**2)
+
+    ref = jax.grad(loss)(k, x)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ks = jax.device_put(k, replicated_sharding(mesh))
+    out = jax.jit(jax.grad(loss))(ks, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_multi_slice_default_multihost_spec():
+    """global_batch_from_local's default spec follows the mesh's data
+    axes, so the same loader code runs on single- and multi-slice."""
+    mesh = create_mesh(slices=2)
+    batch = {"x": np.ones((8, 2), np.float32)}
+    out = global_batch_from_local(batch, mesh)
+    assert out["x"].sharding.spec == P(("slice", "data"))
+
+
 def test_full_image_discriminator():
     d = FullImageDiscriminator(in_channels=3, img_size=64)
     x = jnp.zeros((2, 64, 64, 3))
