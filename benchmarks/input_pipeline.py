@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--model", default="texture", choices=["texture", "warp"])
     ap.add_argument("--num_workers", type=int, default=4)
     ap.add_argument("--prefetch", type=int, default=4)
+    ap.add_argument("--decode_backend", default="pil",
+                    choices=("pil", "native", "draft"),
+                    help="image decode path (native = C++ libjpeg/libpng "
+                         "fused decode+resize; draft adds DCT-scaled decode)")
     ap.add_argument("--cache_data", action="store_true",
                     help="decoded-file RAM cache: epochs 2+ skip disk decode")
     ap.add_argument("--cache_device", action="store_true",
@@ -135,6 +139,7 @@ def main():
                 "--batch_size", str(args.batch),
                 "--num_workers", str(args.num_workers),
                 "--checkpoints_dir", tempfile.mkdtemp(prefix="swapnet_bench_ckpt_"),
+                "--decode_backend", args.decode_backend,
             ]
             + (["--cache_data"] if args.cache_data else []),
         )
@@ -231,6 +236,7 @@ def main():
             "config": {
                 "items": args.items, "batch": args.batch, "size": args.size,
                 "disk_size": args.disk_size, "num_workers": args.num_workers,
+                "decode_backend": args.decode_backend,
                 "prefetch_batches": args.prefetch, "cache_data": args.cache_data,
                 "cache_device": args.cache_device,
                 "steps_per_call": args.steps_per_call,

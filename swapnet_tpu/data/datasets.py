@@ -30,7 +30,7 @@ from swapnet_tpu.data.files import (
     remove_extension,
     remove_prefix,
 )
-from swapnet_tpu.data.image_io import load_rgb, resize_rgb
+from swapnet_tpu.data.image_io import load_rgb, load_rgb_resized, resize_rgb
 from swapnet_tpu.data.rois import load_rois_csv
 from swapnet_tpu.data.stats import get_norm_stats
 
@@ -105,9 +105,12 @@ class WarpDataset:
         return decompress_cloth_labels_resized(path, size)
 
     def _rgb(self, path: str, size: int) -> np.ndarray:
+        backend = getattr(self.opt, "decode_backend", "pil")
         if self.cache is not None:
-            return self.cache.get(path, lambda: resize_rgb(load_rgb(path), size))
-        return resize_rgb(load_rgb(path), size)
+            return self.cache.get(
+                path, lambda: load_rgb_resized(path, size, backend)[0]
+            )
+        return load_rgb_resized(path, size, backend)[0]
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         size = self.opt.load_size
@@ -186,9 +189,10 @@ class TextureDataset:
         ROI scale needs the pre-resize width."""
 
         def compute():
-            img = load_rgb(path)
             # PIL width convention (reference texture_dataset.py:116)
-            return resize_rgb(img, size), img.shape[1]
+            return load_rgb_resized(
+                path, size, getattr(self.opt, "decode_backend", "pil")
+            )
 
         if self.cache is not None:
             return self.cache.get(path, compute)

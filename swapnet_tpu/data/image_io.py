@@ -31,5 +31,34 @@ def resize_labels_nearest(labels: np.ndarray, size: int) -> np.ndarray:
     return labels[np.ix_(ridx, cidx)]
 
 
+def load_rgb_resized(
+    path: str, size: int, backend: str = "pil"
+) -> tuple:
+    """Fused decode + bilinear resize -> ((size, size, 3) uint8, orig_width).
+
+    backend "native" routes JPEG/PNG through the C++ kernels
+    (native/decoder.cpp: libjpeg/libpng + PIL-compatible triangle
+    resample, ±1/255 vs PIL); "draft" additionally enables libjpeg
+    DCT-scaled decode (decodes 1/2..1/8-scale when the target is small —
+    fastest, slightly different pixels).  Unknown formats or a missing
+    native lib fall back to PIL."""
+    if backend in ("native", "draft"):
+        from swapnet_tpu.data import native
+
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            res = native.decode_rgb_resized(
+                data, size, jpeg_draft=(backend == "draft"), with_dims=True
+            )
+        except OSError:
+            res = None
+        if res is not None:
+            img, (w, _h) = res
+            return img, w
+    img = load_rgb(path)
+    return resize_rgb(img, size), img.shape[1]
+
+
 def save_rgb(img: np.ndarray, path: str) -> None:
     Image.fromarray(np.asarray(img, dtype=np.uint8)).save(path)

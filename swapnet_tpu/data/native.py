@@ -24,6 +24,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _f64p = ctypes.POINTER(ctypes.c_double)
 
@@ -31,14 +32,21 @@ _f64p = ctypes.POINTER(ctypes.c_double)
 def _build() -> Optional[str]:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-            check=True, capture_output=True, timeout=120,
-        )
-        return _SO
-    except Exception:
-        return None
+    # full build first (JPEG/PNG decode; needs libjpeg/libpng headers),
+    # then a decode-free build — Python falls back to PIL for images
+    for extra in (
+        ["-DSWAPNET_WITH_IMAGE", "-pthread", "-ljpeg", "-lpng"],
+        [],
+    ):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO] + extra,
+                check=True, capture_output=True, timeout=120,
+            )
+            return _SO
+        except Exception:
+            continue
+    return None
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -65,6 +73,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _u8p, ctypes.c_int32, ctypes.c_int32, _f64p, _i32p, _i32p
         ]
         lib.dense_u8_to_csc.restype = ctypes.c_int64
+        lib.swapnet_has_image_decode.restype = ctypes.c_int32
+        if lib.swapnet_has_image_decode():
+            lib.decode_rgb_resize_u8.argtypes = [
+                _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                _u8p, _i32p,
+            ]
+            lib.decode_rgb_resize_u8.restype = ctypes.c_int32
+            lib.decode_rgb_resize_batch_u8.argtypes = [
+                _u8p, _i64p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, _u8p, _i32p,
+            ]
         _lib = lib
         return _lib
 
@@ -91,6 +110,65 @@ def csc_to_dense_resized(
         rows, cols, out_h, out_w, _ptr(scratch, _u8p), _ptr(out, _u8p),
     )
     return out
+
+
+def has_image_decode() -> bool:
+    lib = get_lib()
+    return bool(lib is not None and lib.swapnet_has_image_decode())
+
+
+def decode_rgb_resized(
+    data: bytes, size: int, jpeg_draft: bool = False, with_dims: bool = False
+):
+    """Native JPEG/PNG decode fused with PIL-compatible bilinear resize ->
+    (size, size, 3) uint8 (or ((size,size,3) u8, (orig_w, orig_h)) when
+    ``with_dims``).  None if unavailable or the format needs PIL (CMYK,
+    exotic).  ``jpeg_draft`` enables DCT-scaled decode (decodes at the
+    smallest power-of-2 scale >= size before resampling; faster, numerics
+    differ slightly from full decode)."""
+    lib = get_lib()
+    if lib is None or not lib.swapnet_has_image_decode():
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty((size, size, 3), dtype=np.uint8)
+    wh = np.zeros(2, dtype=np.int32)
+    rc = lib.decode_rgb_resize_u8(
+        _ptr(buf, _u8p), len(data), size, int(jpeg_draft),
+        # null orig_wh skips the extra header parse draft mode would need
+        _ptr(out, _u8p), _ptr(wh, _i32p) if with_dims else None,
+    )
+    if rc != 0:
+        return None
+    return (out, (int(wh[0]), int(wh[1]))) if with_dims else out
+
+
+def decode_rgb_resized_batch(
+    items, size: int, jpeg_draft: bool = False, nthreads: int = 0
+) -> Optional[np.ndarray]:
+    """Threaded batch decode of byte buffers -> (n, size, size, 3) uint8.
+    Items that fail native decode come back as None entries in the second
+    return value so the caller can PIL-fallback per item.  Returns
+    (array, failed_indices) or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not lib.swapnet_has_image_decode():
+        return None
+    n = len(items)
+    if nthreads <= 0:
+        nthreads = min(max(os.cpu_count() or 1, 1), 16)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, b in enumerate(items):
+        offsets[i + 1] = offsets[i] + len(b)
+    blob = np.empty(int(offsets[-1]), dtype=np.uint8)
+    for i, b in enumerate(items):
+        blob[int(offsets[i]):int(offsets[i + 1])] = np.frombuffer(b, np.uint8)
+    out = np.empty((n, size, size, 3), dtype=np.uint8)
+    statuses = np.zeros(n, dtype=np.int32)
+    lib.decode_rgb_resize_batch_u8(
+        _ptr(blob, _u8p), _ptr(offsets, _i64p), n, size, int(jpeg_draft),
+        nthreads, _ptr(out, _u8p), _ptr(statuses, _i32p),
+    )
+    failed = [int(i) for i in np.nonzero(statuses)[0]]
+    return out, failed
 
 
 def csc_to_dense(
