@@ -27,11 +27,13 @@ class NLayerDiscriminator(nn.Module):
     init_type: str = "kaiming"
     init_gain: float = 0.02
     dtype: Any = jnp.float32
+    quantize: bool = False  # int8 convs + STE grads (--quantize_D)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         use_bias = self.norm_type == "instance"
-        kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+        kw = dict(init_type=self.init_type, init_gain=self.init_gain,
+                  dtype=self.dtype, quantize=self.quantize)
         x = x.astype(self.dtype)
 
         x = Conv(self.ndf, 4, 2, 1, use_bias=True, **kw)(x)
@@ -60,11 +62,13 @@ class PixelDiscriminator(nn.Module):
     init_type: str = "kaiming"
     init_gain: float = 0.02
     dtype: Any = jnp.float32
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         use_bias = self.norm_type == "instance"
-        kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
+        kw = dict(init_type=self.init_type, init_gain=self.init_gain,
+                  dtype=self.dtype, quantize=self.quantize)
         x = x.astype(self.dtype)
         x = Conv(self.ndf, 1, 1, 0, use_bias=True, **kw)(x)
         x = leaky_relu(x, 0.2)
@@ -111,10 +115,14 @@ def define_D(
     init_type: str = "kaiming",
     init_gain: float = 0.02,
     dtype: Any = jnp.float32,
+    quantize: bool = False,
 ) -> nn.Module:
-    """String factory matching reference define_D (discriminators.py:45-88)."""
+    """String factory matching reference define_D (discriminators.py:45-88).
+    ``quantize`` routes the convs through the int8 MXU path with
+    straight-through grads (TPU-native --quantize_D, ops/quant.py)."""
     common = dict(
-        ndf=ndf, norm_type=norm, init_type=init_type, init_gain=init_gain, dtype=dtype
+        ndf=ndf, norm_type=norm, init_type=init_type, init_gain=init_gain,
+        dtype=dtype, quantize=quantize,
     )
     if netD == "basic":
         return NLayerDiscriminator(n_layers=3, **common)

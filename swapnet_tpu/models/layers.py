@@ -97,6 +97,7 @@ class Conv(nn.Module):
     init_type: str = "kaiming"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    quantize: bool = False  # int8 MXU path + straight-through grads
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -107,14 +108,23 @@ class Conv(nn.Module):
             (k, k, x.shape[-1], self.features),
             jnp.float32,
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=self.dtype,
-        )
+        if self.quantize:
+            from swapnet_tpu.ops.quant import conv2d_int8_ste
+
+            y = conv2d_int8_ste(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (self.stride, self.stride),
+                ((self.padding, self.padding), (self.padding, self.padding)),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding), (self.padding, self.padding)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

@@ -70,6 +70,11 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--init_gain", default=0.02, type=float,
                             help="init scaling factor")
         # TPU-native extensions
+        parser.add_argument("--quantize_D", action="store_true",
+                            help="run discriminator convs on the int8 MXU "
+                                 "path (2x bf16 rate) with straight-through "
+                                 "gradients; the generator stays full "
+                                 "precision (TPU-native, ops/quant.py)")
         parser.add_argument("--profile_dir", default=None,
                             help="write a JAX profiler trace of a few steps here")
         parser.add_argument("--profile_steps", default=2, type=int,

@@ -75,6 +75,7 @@ def create_system(opt, vgg_variables=None):
             lambda_ce=getattr(opt, "lambda_ce", 100.0),
             discriminator=getattr(opt, "discriminator", "basic"),
             n_layers_D=getattr(opt, "n_layers_D", 3),
+            quantize_D=getattr(opt, "quantize_D", False),
             norm=getattr(opt, "norm", "instance"),
             lambda_gan=getattr(opt, "lambda_gan", 1.0),
             lambda_discriminator=getattr(opt, "lambda_discriminator", 1.0),
@@ -100,6 +101,7 @@ def create_system(opt, vgg_variables=None):
             vgg_variables=vgg_variables,
             discriminator=getattr(opt, "discriminator", "basic"),
             n_layers_D=getattr(opt, "n_layers_D", 3),
+            quantize_D=getattr(opt, "quantize_D", False),
             lambda_gan=getattr(opt, "lambda_gan", 1.0),
             lambda_discriminator=getattr(opt, "lambda_discriminator", 1.0),
             lambda_gp=getattr(opt, "lambda_gp", 10.0),

@@ -55,6 +55,7 @@ class TextureSystem(BaseGANSystem):
         vgg_variables=None,  # ported VGG16 weights; random-init if None
         discriminator: str = "basic",
         n_layers_D: int = 3,
+        quantize_D: bool = False,
         init_type: str = "kaiming",
         init_gain: float = 0.02,
         dtype: Any = jnp.float32,
@@ -91,7 +92,8 @@ class TextureSystem(BaseGANSystem):
         D = None
         if is_train:
             D = define_D(
-                discriminator, 64, n_layers_D, norm, init_type, init_gain, dtype
+                discriminator, 64, n_layers_D, norm, init_type, init_gain,
+                dtype, quantize=quantize_D,
             )
         super().__init__(
             generator, D, gan_cfg, g_opt, d_opt,

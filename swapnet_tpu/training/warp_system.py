@@ -38,6 +38,7 @@ class WarpSystem(BaseGANSystem):
         lambda_ce: float = 100.0,
         discriminator: str = "basic",
         n_layers_D: int = 3,
+        quantize_D: bool = False,
         norm: str = "instance",
         init_type: str = "kaiming",
         init_gain: float = 0.02,
@@ -61,7 +62,8 @@ class WarpSystem(BaseGANSystem):
         if warp_mode == "gan":
             # conditional D: cloth + body channels (warp_model.py:92-97)
             D = define_D(
-                discriminator, 64, n_layers_D, norm, init_type, init_gain, dtype
+                discriminator, 64, n_layers_D, norm, init_type, init_gain,
+                dtype, quantize=quantize_D,
             )
         super().__init__(
             generator, D, gan_cfg, g_opt, d_opt,
