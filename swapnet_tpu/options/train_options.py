@@ -14,6 +14,11 @@ class TrainOptions(BaseOptions):
                             choices=("warp", "texture", "pix2pix"), required=True)
         parser.add_argument("--continue_train", action="store_true",
                             help="continue training from latest checkpoint")
+        parser.add_argument("--auto_resume", action="store_true",
+                            help="resume from the --load_epoch checkpoint when "
+                                 "one exists, start fresh otherwise: the same "
+                                 "command line survives preemption/requeue "
+                                 "(TPU-native; no reference counterpart)")
         # visualization
         parser.add_argument("--display_freq", type=int, default=400,
                             help="frequency of showing training results on screen")

@@ -161,7 +161,15 @@ def train(opt):
         print(f"[Network {net}] Total number of parameters : {count / 1e6:.3f} M")
 
     ckpt_backend = getattr(opt, "ckpt_backend", "msgpack")
-    if getattr(opt, "continue_train", False):
+    resume = getattr(opt, "continue_train", False)
+    if not resume and getattr(opt, "auto_resume", False):
+        # preemption-elastic restart: resume when a prior run left a
+        # checkpoint with this label, start fresh otherwise — the same
+        # command line works for launch and for every requeue
+        resume = ckpt.checkpoint_exists(ckpt_dir, opt.load_epoch, ckpt_backend)
+        if resume:
+            print(f"auto-resume: found '{opt.load_epoch}' checkpoint in {ckpt_dir}")
+    if resume:
         state = ckpt.load_checkpoint(state, ckpt_dir, opt.load_epoch, ckpt_backend)
         print(f"loaded checkpoint '{opt.load_epoch}' from {ckpt_dir} (step {int(state.step)})")
         if n_model > 1:

@@ -225,6 +225,15 @@ def save_checkpoint(
         json.dump(meta, f)
 
 
+def checkpoint_exists(ckpt_dir: str, label, backend: str = "msgpack") -> bool:
+    """True when a restorable checkpoint with this label is present —
+    the --auto_resume probe (preemption-elastic restart: resume when a
+    prior run left state, start fresh otherwise)."""
+    if backend == "orbax":
+        return _orbax_find(ckpt_dir, label) is not None
+    return os.path.exists(os.path.join(ckpt_dir, f"{label}_net_generator.msgpack"))
+
+
 def load_checkpoint(
     state: GANTrainState, ckpt_dir: str, label, backend: str = "msgpack"
 ) -> GANTrainState:

@@ -211,6 +211,30 @@ def test_continue_train(checkpoints, dataroot):
     assert int(state.step) == 4
 
 
+def test_auto_resume(dataroot, tmp_path_factory):
+    """--auto_resume: the SAME command line starts fresh on first launch
+    and resumes from the checkpoint after a preemption/requeue."""
+    ckpts = tmp_path_factory.mktemp("auto_resume_ckpts")
+    args = [
+        "--model", "warp", "--name", "warp_ar", "--warp_mode", "ce",
+        "--dataroot", str(dataroot),
+        "--checkpoints_dir", str(ckpts),
+        "--load_size", str(SIZE), "--crop_size", str(SIZE),
+        "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "0",
+        "--latest_checkpoint_freq", "2", "--print_freq", "1000",
+        "--display_freq", "1000", "--compute_dtype", "float32",
+        "--auto_resume", "--load_epoch", "latest",
+    ]
+    # launch: no checkpoint exists -> fresh start
+    state = train(TrainOptions().parse(print_options=False, args=args))
+    assert int(state.step) == N_ITEMS // 2
+    # requeue with the identical command line -> resumes
+    state = train(
+        TrainOptions().parse(print_options=False, store_options=False, args=args)
+    )
+    assert int(state.step) == N_ITEMS  # 2 resumed + 2 more
+
+
 def test_orbax_backend_training_e2e(dataroot, tmp_path_factory):
     """--ckpt_backend orbax: the loop writes tensorstore checkpoint dirs
     (async saver + end-of-epoch saves) and --continue_train resumes from
