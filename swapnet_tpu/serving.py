@@ -134,3 +134,102 @@ class SwapService:
             np.asarray(rois, dtype=np.float32),
         )
         return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# AOT deployment artifact: the whole u8->u8 swap program compiled to a
+# serialized StableHLO module (jax.export) + a weights blob.  A serving
+# box replays it with NO model-building Python — no flax modules, no
+# architecture code, no tracing; just jax runtime + these two files.
+# ---------------------------------------------------------------------------
+
+def export_service(
+    service: SwapService, out_dir: str, batch_size: int = 1,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> str:
+    """Serialize ``service``'s fused u8->u8 program and weights.
+
+    Writes ``swap_program.bin`` (jax.export serialization; weights are
+    call ARGUMENTS, so the program itself is small), ``weights.msgpack``
+    and ``meta.json`` into ``out_dir``.  ``platforms`` pins the target
+    list (e.g. ("tpu", "cpu")); default is the exporting backend only.
+    """
+    import flax.serialization as fser
+    from jax import export as jexport
+
+    size = service.fused.texture.img_size
+    num_roi = service.fused.texture.num_roi
+
+    def specs(tree):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), tree
+        )
+
+    arg_specs = (
+        specs(service.fused.warp_variables),
+        specs(service.fused.texture_variables),
+        jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, size, size), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, num_roi, 4), jnp.float32),
+    )
+    exported = jexport.export(
+        jax.jit(service._swap_u8),
+        platforms=list(platforms) if platforms else None,
+    )(*arg_specs)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "swap_program.bin"), "wb") as f:
+        f.write(exported.serialize())
+    weights = {
+        "warp": jax.device_get(service.fused.warp_variables),
+        "texture": jax.device_get(service.fused.texture_variables),
+    }
+    with open(os.path.join(out_dir, "weights.msgpack"), "wb") as f:
+        f.write(fser.msgpack_serialize(weights))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "batch_size": batch_size,
+                "img_size": size,
+                "num_roi": num_roi,
+                "cloth_channels": service.cloth_channels,
+                "platforms": list(exported.platforms),
+            },
+            f,
+        )
+    return out_dir
+
+
+class ExportedSwapService:
+    """Replay an ``export_service`` artifact — same ``swap()`` surface as
+    SwapService, zero model code: the architecture lives in the
+    serialized StableHLO program."""
+
+    def __init__(self, exported, weights: dict, meta: dict):
+        self._exported = exported
+        self._warp_vars = weights["warp"]
+        self._tex_vars = weights["texture"]
+        self.meta = meta
+        self._fn = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, out_dir: str) -> "ExportedSwapService":
+        import flax.serialization as fser
+        from jax import export as jexport
+
+        with open(os.path.join(out_dir, "swap_program.bin"), "rb") as f:
+            exported = jexport.deserialize(f.read())
+        with open(os.path.join(out_dir, "weights.msgpack"), "rb") as f:
+            weights = fser.msgpack_restore(f.read())
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(exported, weights, meta)
+
+    def swap(self, body_u8, cloth_labels, texture_u8, rois) -> np.ndarray:
+        out = self._fn(
+            self._warp_vars, self._tex_vars,
+            np.asarray(body_u8, np.uint8), np.asarray(cloth_labels, np.uint8),
+            np.asarray(texture_u8, np.uint8), np.asarray(rois, np.float32),
+        )
+        return np.asarray(out)

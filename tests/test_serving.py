@@ -68,6 +68,31 @@ def test_fused_swap_from_checkpoints(ckpt_dirs):
     assert out.min() >= 0 and out.max() <= 255
 
 
+def test_exported_swap_artifact_round_trip(ckpt_dirs, tmp_path):
+    """export_service -> ExportedSwapService.load replays the SAME program
+    (StableHLO, weights as args) with byte-identical outputs."""
+    import jax.numpy as jnp
+
+    from swapnet_tpu.serving import ExportedSwapService, export_service
+
+    fused, _ = build_fused_swap(*ckpt_dirs, dtype=jnp.float32)
+    svc = SwapService(fused, ([0.5] * 3, [0.25] * 3), ([0.5] * 3, [0.25] * 3))
+
+    out_dir = export_service(svc, str(tmp_path / "artifact"), batch_size=2)
+    replay = ExportedSwapService.load(out_dir)
+    assert replay.meta["img_size"] == SIZE
+    assert replay.meta["batch_size"] == 2
+
+    r = np.random.RandomState(3)
+    args = (
+        r.randint(0, 255, (2, SIZE, SIZE, 3), dtype=np.uint8),
+        r.randint(0, 19, (2, SIZE, SIZE)).astype(np.uint8),
+        r.randint(0, 255, (2, SIZE, SIZE, 3), dtype=np.uint8),
+        np.tile([4.0, 4.0, 40.0, 40.0], (2, 12, 1)).astype(np.float32),
+    )
+    np.testing.assert_array_equal(replay.swap(*args), svc.swap(*args))
+
+
 def test_single_dispatch_swap_matches_composed_path(ckpt_dirs):
     """SwapService's fused u8->u8 program must equal normalize ->
     FusedSwap -> tensor2im composed eagerly (util/util.py:9-32 math)."""
