@@ -139,6 +139,12 @@ class BaseOptions:
                                  "numerics), native (C++ libjpeg/libpng + "
                                  "PIL-compatible resample, ±1/255), draft "
                                  "(native + JPEG DCT-scaled decode, fastest)")
+        parser.add_argument("--shard_space", type=int, default=1,
+                            help="size of the mesh 'space' axis: shard image "
+                                 "height over this many devices (conv halo "
+                                 "exchanges inserted by XLA; the 512px+ "
+                                 "activation-memory lever; not combinable "
+                                 "with --shard_params)")
         parser.add_argument("--dcn_slices", type=int, default=1,
                             help="number of DCN-connected TPU slices: adds an "
                                  "outermost mesh 'slice' axis for multi-slice "

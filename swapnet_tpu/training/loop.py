@@ -106,8 +106,10 @@ def train(opt):
     n_slice = min(max(1, getattr(opt, "dcn_slices", 1)), len(jax.devices()))
     n_model = min(max(1, getattr(opt, "shard_params", 1)),
                   len(jax.devices()) // n_slice)
-    n_dp = opt.data_parallel or len(jax.devices()) // (n_model * n_slice)
-    n_dp = max(1, min(n_dp, len(jax.devices()) // (n_model * n_slice)))
+    n_space = min(max(1, getattr(opt, "shard_space", 1)),
+                  len(jax.devices()) // (n_slice * n_model))
+    n_dp = opt.data_parallel or len(jax.devices()) // (n_model * n_slice * n_space)
+    n_dp = max(1, min(n_dp, len(jax.devices()) // (n_model * n_slice * n_space)))
     # batch dim is sharded over slice*data devices
     while n_dp > 1 and opt.batch_size % (n_dp * n_slice):
         n_dp -= 1
@@ -116,12 +118,42 @@ def train(opt):
             f"--batch_size {opt.batch_size} not divisible by "
             f"--dcn_slices {n_slice}"
         )
+    if n_space > 1 and getattr(opt, "cache_device", False):
+        raise ValueError(
+            "--shard_space with --cache_device is not supported: the "
+            "device-resident gather produces batch-sharded arrays only"
+        )
     mesh = create_mesh(
-        jax.devices()[: n_slice * n_dp * n_model],
-        data=n_dp, model=n_model, slices=n_slice,
+        jax.devices()[: n_slice * n_dp * n_space * n_model],
+        data=n_dp, space=n_space, model=n_model, slices=n_slice,
     )
     repl = replicated_sharding(mesh)
     data_sh = batch_sharding(mesh)
+    # spatial placement for image-shaped arrays (H == load_size on axis 1):
+    # the 512^2 texture lever — activations split over "space", XLA inserts
+    # the conv halo exchanges (validated in benchmarks/space_shard.py).
+    # P(da, "space") with no trailing entries fits both (B,H,W) label maps
+    # and (B,H,W,C) images.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from swapnet_tpu.parallel import data_axes
+
+    spatial_sh = (
+        NamedSharding(mesh, P(data_axes(mesh), "space")) if n_space > 1 else data_sh
+    )
+
+    def _is_spatial(v) -> bool:
+        return (
+            n_space > 1
+            and getattr(v, "ndim", 0) >= 3
+            and v.shape[1] == opt.load_size
+        )
+
+    def put_batch(arrays):
+        return {
+            k: jax.device_put(v, spatial_sh if _is_spatial(v) else data_sh)
+            for k, v in arrays.items()
+        }
 
     rng = jax.random.key(getattr(opt, "seed", 0))
 
@@ -144,9 +176,7 @@ def train(opt):
         first_arrays = resident.gather(jax.device_put(first_idx, data_sh))
     else:
         first = next(iter(loader))
-        first_arrays = {
-            k: jax.device_put(v, data_sh) for k, v in _array_part(first).items()
-        }
+        first_arrays = put_batch(_array_part(first))
     rng, r_pre, r_init = jax.random.split(rng, 3)
     model_batch = preprocess(r_pre, first_arrays)
     state = system.init_state(r_init, model_batch)
@@ -196,7 +226,7 @@ def train(opt):
     try:
         _train_epochs(
             opt, loader, system, preprocess, visualizer, ckpt_dir,
-            box, step_fn, saver, data_sh, profile_dir, profile_steps,
+            box, step_fn, saver, put_batch, profile_dir, profile_steps,
             resident=resident,
         )
     except KeyboardInterrupt:
@@ -219,7 +249,7 @@ def train(opt):
 
 def _train_epochs(
     opt, loader, system, preprocess, visualizer, ckpt_dir,
-    box, step_fn, saver, data_sh, profile_dir, profile_steps,
+    box, step_fn, saver, put_batch, profile_dir, profile_steps,
     resident=None,
 ):
     state, rng = box["state"], box["rng"]
@@ -251,9 +281,7 @@ def _train_epochs(
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
                 profile_stop_at = total_iters + 3 * opt.batch_size
-            arrays = {
-                k: jax.device_put(v, data_sh) for k, v in _array_part(batch).items()
-            }
+            arrays = put_batch(_array_part(batch))
             rng_prev = rng
             state, rng, metrics = step_fn(state, rng, arrays)
             box["state"], box["rng"] = state, rng

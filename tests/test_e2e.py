@@ -335,6 +335,30 @@ def test_dcn_slices_training_e2e(dataroot, tmp_path_factory):
     assert (ckpts / "warp_slice" / "latest_net_generator.msgpack").exists()
 
 
+def test_shard_space_training_e2e(dataroot, tmp_path_factory):
+    """--shard_space 2 trains with image height sharded over the "space"
+    axis end-to-end (XLA conv halo exchanges; batch over "data")."""
+    ckpts = tmp_path_factory.mktemp("space_ckpts")
+    opt = TrainOptions().parse(
+        print_options=False,
+        args=[
+            "--model", "texture", "--name", "tex_space",
+            "--lambda_content", "0", "--lambda_style", "0",
+            "--shard_space", "2", "--data_parallel", "2",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(ckpts),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+            "--latest_checkpoint_freq", "0", "--print_freq", "2",
+            "--display_freq", "0", "--num_workers", "2",
+            "--compute_dtype", "float32",
+        ],
+    )
+    state = train(opt)
+    assert int(state.step) == N_ITEMS // 2
+    assert (ckpts / "tex_space" / "latest_net_generator.msgpack").exists()
+
+
 def test_shard_params_training_e2e(dataroot, tmp_path_factory):
     """--shard_params 2 trains through the FSDP placement end-to-end on the
     8-device CPU mesh (params + optimizer moments split over "model",
