@@ -75,6 +75,18 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--init_gain", default=0.02, type=float,
                             help="init scaling factor")
         # TPU-native extensions
+        parser.add_argument("--lr_policy", default="constant",
+                            choices=("constant", "linear", "cosine"),
+                            help="LR schedule (both nets): linear/cosine decay "
+                                 "to 0 over --lr_decay_steps (default: the "
+                                 "run's total steps).  The reference's torch "
+                                 "schedulers are commented out upstream; this "
+                                 "is the working optax equivalent")
+        parser.add_argument("--lr_warmup_steps", type=int, default=0,
+                            help="linear 0->lr warmup steps before the policy")
+        parser.add_argument("--lr_decay_steps", type=int, default=0,
+                            help="schedule horizon in steps (0 = derive from "
+                                 "n_epochs x steps-per-epoch)")
         parser.add_argument("--quantize_D", action="store_true",
                             help="run discriminator convs on the int8 MXU "
                                  "path (2x bf16 rate) with straight-through "

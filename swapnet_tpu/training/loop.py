@@ -98,6 +98,12 @@ def train(opt):
     dataset, loader = create_dataset(opt)
     print(f"The number of training images = {len(loader):d}")
 
+    # stamp the run's step horizon for LR schedules before the optimizers
+    # are built (optimizers.from_options reads schedule_total_steps)
+    steps_per_epoch = max(1, len(loader) // opt.batch_size)
+    opt.schedule_total_steps = steps_per_epoch * max(
+        1, opt.n_epochs - opt.start_epoch
+    )
     system = create_system(opt)
     preprocess = create_preprocessor(opt, dataset)
     visualizer = Visualizer(opt)

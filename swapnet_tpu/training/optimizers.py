@@ -32,6 +32,31 @@ class OptimizerConfig:
     # relative to mu.  nu stays f32: its 0.001*g^2 increments would be
     # swallowed by bf16 rounding once nu converges.
     mu_dtype: str = "bfloat16"  # bfloat16 | float32
+    # LR schedule (TPU-native optional extension: the reference's torch
+    # scheduler hooks are commented out upstream, models/base_model.py:122)
+    lr_policy: str = "constant"  # constant | linear | cosine
+    warmup_steps: int = 0  # linear 0 -> lr warmup prefix
+    decay_steps: int = 0  # schedule horizon (incl. warmup); 0 = loop-derived
+
+
+def make_lr(cfg: OptimizerConfig):
+    """Scalar lr for constant/no-warmup configs, else an optax schedule."""
+    if cfg.lr_policy == "constant" and not cfg.warmup_steps:
+        return cfg.lr
+    total = max(int(cfg.decay_steps), cfg.warmup_steps + 1)
+    main_steps = max(total - cfg.warmup_steps, 1)
+    if cfg.lr_policy == "constant":
+        main = optax.constant_schedule(cfg.lr)
+    elif cfg.lr_policy == "linear":
+        main = optax.linear_schedule(cfg.lr, 0.0, main_steps)
+    elif cfg.lr_policy == "cosine":
+        main = optax.cosine_decay_schedule(cfg.lr, main_steps)
+    else:
+        raise NotImplementedError(f"lr_policy [{cfg.lr_policy}]")
+    if not cfg.warmup_steps:
+        return main
+    warmup = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    return optax.join_schedules([warmup, main], [cfg.warmup_steps])
 
 
 class AdaBoundState(NamedTuple):
@@ -61,9 +86,10 @@ def adabound(
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
         t = count.astype(jnp.float32)
+        lr_t = lr(state.count) if callable(lr) else lr
         bc1 = 1 - b1 ** t
         bc2 = 1 - b2 ** t
-        step_size = lr * jnp.sqrt(bc2) / bc1
+        step_size = lr_t * jnp.sqrt(bc2) / bc1
         lower = final_lr * (1 - 1 / (gamma * t + 1))
         upper = final_lr * (1 + 1 / (gamma * t))
 
@@ -76,7 +102,7 @@ def adabound(
         if weight_decay:
             assert params is not None
             new_updates = jax.tree.map(
-                lambda u, p: u - lr * weight_decay * p, new_updates, params
+                lambda u, p: u - lr_t * weight_decay * p, new_updates, params
             )
         return new_updates, AdaBoundState(count, mu, nu)
 
@@ -106,22 +132,25 @@ def define_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         # multiplicative decay per step); scale by lr so --weight_decay means
         # the same thing as under AdamW (effective decay = lr * wd).
         return optax.adafactor(
-            learning_rate=cfg.lr,
+            learning_rate=make_lr(cfg),
             multiply_by_parameter_scale=False,
             clipping_threshold=1.0,
             momentum=cfg.b1,
             dtype_momentum=jnp.bfloat16,
+            # decay stays pinned to the base lr under a schedule (optax
+            # applies weight_decay_rate multiplicatively, pre-lr)
             weight_decay_rate=(cfg.lr * cfg.weight_decay) or None,
             factored=True,
         )
     if "adam" in name:
         return optax.adamw(
-            cfg.lr, b1=cfg.b1, b2=cfg.b2, eps=1e-8, weight_decay=cfg.weight_decay,
+            make_lr(cfg), b1=cfg.b1, b2=cfg.b2, eps=1e-8,
+            weight_decay=cfg.weight_decay,
             mu_dtype=jnp.dtype(cfg.mu_dtype),
         )
     if "adabound" in name:
         return adabound(
-            cfg.lr, b1=cfg.b1, b2=cfg.b2,
+            make_lr(cfg), b1=cfg.b1, b2=cfg.b2,
             final_lr=cfg.final_lr, gamma=cfg.gamma, weight_decay=cfg.weight_decay,
         )
     raise NotImplementedError(cfg.name)
@@ -142,4 +171,12 @@ def from_options(opt, net: str) -> OptimizerConfig:
         b2=getattr(opt, "b2", 0.999),
         weight_decay=wd,
         final_lr=getattr(opt, "final_lr", 0.1),
+        lr_policy=getattr(opt, "lr_policy", "constant"),
+        warmup_steps=getattr(opt, "lr_warmup_steps", 0),
+        # explicit flag wins; else the loop stamps its epoch-derived horizon
+        # onto the namespace before create_system (training/loop.py)
+        decay_steps=(
+            getattr(opt, "lr_decay_steps", 0)
+            or getattr(opt, "schedule_total_steps", 0)
+        ),
     )
