@@ -87,6 +87,12 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--lr_decay_steps", type=int, default=0,
                             help="schedule horizon in steps (0 = derive from "
                                  "n_epochs x steps-per-epoch)")
+        parser.add_argument("--grad_accum", type=int, default=1,
+                            help="accumulate gradients over this many "
+                                 "micro-batches per optimizer update (batch_"
+                                 "size stays the EFFECTIVE batch; activation "
+                                 "memory drops to one micro-batch — the "
+                                 "512px+ lever alongside --shard_space)")
         parser.add_argument("--quantize_D", action="store_true",
                             help="run discriminator convs on the int8 MXU "
                                  "path (2x bf16 rate) with straight-through "

@@ -232,6 +232,124 @@ class BaseGANSystem:
         )
         return new_state, {k: v.astype(jnp.float32) for k, v in metrics.items()}
 
+    def train_step_accum(self, state: GANTrainState, batch):
+        """Gradient-accumulated train step: ``batch`` leaves carry a
+        leading (K, B_micro) micro-batch axis; K micro-batch gradients are
+        averaged into ONE optimizer update per network (effective batch
+        K*B_micro with one micro-batch of activations live — the lax.scan
+        recomputes the generator forward per phase instead of holding K
+        vjp residuals).  Update order matches train_step: D on all micro
+        batches first, then G against the UPDATED discriminator.  For
+        mean-reduced losses (all of ours) the averaged micro-gradients
+        equal the full-batch gradient; per-micro-batch dropout/label draws
+        are folded from the step rng.  TPU-native memory lever for 512px+
+        texture training; no reference counterpart (single-GPU torch)."""
+        K = jax.tree.leaves(batch)[0].shape[0]
+        rng_next, r_base = jax.random.split(state.rng)
+        metrics = {}
+
+        d_params, d_opt_state, d_extra = (
+            state.d_params, state.d_opt_state, state.d_extra,
+        )
+        g_extra = state.g_extra
+        idx = jnp.arange(K)
+
+        def mb_rngs(i):
+            r = jax.random.fold_in(r_base, i)
+            return jax.random.split(r, 5)  # drop, dfake, dreal, gp/label, extra
+
+        if self.D is not None:
+            if self.gan_mode == "wgan" and self.wgan_clamp:
+                d_params = jax.tree.map(lambda p: jnp.clip(p, -0.01, 0.01), d_params)
+
+            def d_phase(carry, xs):
+                acc, d_extra_c = carry
+                mb, i = xs
+                r_drop, r_dfake, r_dreal, r_gp, _ = mb_rngs(i)
+                fakes, _ = self.generator_forward(
+                    state.g_params, g_extra, mb, r_drop, True
+                )
+                cond_fake = self.d_condition(mb, jax.lax.stop_gradient(fakes))
+                cond_real = self.d_condition(mb, self.targets(mb))
+
+                def d_loss_fn(dp):
+                    pred_fake, e1 = self._apply_d(dp, d_extra_c, cond_fake, True)
+                    loss_fake = gan_loss(pred_fake, False, self.gan_cfg, r_dfake)
+                    pred_real, e2 = self._apply_d(dp, e1, cond_real, True)
+                    loss_real = gan_loss(pred_real, True, self.gan_cfg, r_dreal)
+                    loss = 0.5 * (loss_fake + loss_real) * self.lambda_discriminator
+                    aux = {"loss_D_fake": loss_fake, "loss_D_real": loss_real}
+                    if self.has_gp:
+                        d_fn = lambda x: self._apply_d(dp, e2, x, True)[0]
+                        gp = gradient_penalty(
+                            d_fn, cond_real, cond_fake, self.gan_mode, r_gp
+                        )
+                        loss = loss + self.lambda_gp * gp
+                        aux["loss_D_gp"] = gp
+                    aux["loss_D"] = loss
+                    return loss, (aux, e2)
+
+                grads, (aux, d_extra_c) = jax.grad(d_loss_fn, has_aux=True)(d_params)
+                return (jax.tree.map(jnp.add, acc, grads), d_extra_c), aux
+
+            zero_d = jax.tree.map(jnp.zeros_like, d_params)
+            (d_acc, d_extra), d_auxs = jax.lax.scan(
+                d_phase, (zero_d, d_extra), (batch, idx)
+            )
+            d_grads = jax.tree.map(lambda g: g / K, d_acc)
+            d_updates, d_opt_state = self.d_tx.update(d_grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+            metrics.update({k: jnp.mean(v) for k, v in d_auxs.items()})
+
+        def g_phase(carry, xs):
+            acc, g_extra_c, d_extra_c = carry
+            mb, i = xs
+            r_drop, _, _, r_glabel, r_extra = mb_rngs(i)
+
+            def g_loss_fn(gp_):
+                fakes, new_gx = self.generator_forward(gp_, g_extra_c, mb, r_drop, True)
+                extra = self.extra_g_losses(fakes, mb, r_extra, state.frozen)
+                loss = sum(extra.values(), jnp.float32(0.0))
+                aux = dict(extra)
+                new_dx = d_extra_c
+                if self.D is not None and self.lambda_gan:
+                    pred, new_dx = self._apply_d(
+                        d_params, d_extra_c, self.d_condition(mb, fakes), True
+                    )
+                    loss_gan = gan_loss(pred, True, self.gan_cfg, r_glabel) * self.lambda_gan
+                    loss = loss + loss_gan
+                    aux["loss_G_gan"] = loss_gan
+                aux["loss_G"] = loss
+                return loss, (aux, new_gx, new_dx)
+
+            grads, (aux, g_extra_c, d_extra_c) = jax.grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params)
+            return (jax.tree.map(jnp.add, acc, grads), g_extra_c, d_extra_c), aux
+
+        zero_g = jax.tree.map(jnp.zeros_like, state.g_params)
+        (g_acc, g_extra, d_extra), g_auxs = jax.lax.scan(
+            g_phase, (zero_g, g_extra, d_extra), (batch, idx)
+        )
+        g_grads = jax.tree.map(lambda g: g / K, g_acc)
+        g_updates, g_opt_state = self.g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        metrics.update({k: jnp.mean(v) for k, v in g_auxs.items()})
+
+        new_state = state.replace(
+            step=state.step + 1,
+            rng=rng_next,
+            g_params=g_params,
+            g_opt_state=g_opt_state,
+            g_extra=g_extra,
+            d_params=d_params,
+            d_opt_state=d_opt_state,
+            d_extra=d_extra,
+        )
+        return new_state, {k: v.astype(jnp.float32) for k, v in metrics.items()}
+
     def eval_step(self, state: GANTrainState, batch) -> jax.Array:
         """Deterministic generator forward (reference BaseModel.test)."""
         fakes, _ = self.generator_forward(

@@ -73,12 +73,16 @@ class AsyncCheckpointer:
             self._thread = None
 
 
-def build_tick(system, preprocess):
+def build_tick(system, preprocess, grad_accum: int = 1):
     """ONE jitted program per training iteration: rng advance + device-side
     preprocess (one-hot/normalize/augment) + fused GAN step.  Collapsing
     the per-step host->device dispatches (split, preprocess, step) to a
     single call matters under high-latency runtimes (the axon tunnel costs
     ~ms per dispatch; benchmarks/input_pipeline.py measures the effect).
+
+    ``grad_accum`` > 1 splits the (augmented) batch into that many
+    micro-batches and runs the accumulated step (train_step_accum): same
+    effective batch, one micro-batch of activations live.
 
     The rng argument is NOT donated so the caller can re-derive the
     preprocess key (split(rng)[1]) to rebuild the displayed batch.
@@ -88,7 +92,16 @@ def build_tick(system, preprocess):
     def tick(state, rng, arrays):
         rng2, r_pre = _jax.random.split(rng)
         batch = preprocess(r_pre, arrays)
-        state, metrics = system.train_step(state, batch)
+        if grad_accum > 1:
+            batch = _jax.tree.map(
+                lambda x: x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]
+                ),
+                batch,
+            )
+            state, metrics = system.train_step_accum(state, batch)
+        else:
+            state, metrics = system.train_step(state, batch)
         return state, rng2, metrics
 
     return _jax.jit(tick, donate_argnums=0)
@@ -216,12 +229,21 @@ def train(opt):
 
             state = jax.device_put(state, state_sharding(mesh, state))
 
+    grad_accum = max(1, getattr(opt, "grad_accum", 1))
+    if grad_accum > 1:
+        if resident is not None:
+            raise ValueError("--grad_accum with --cache_device is not supported")
+        if opt.batch_size % grad_accum:
+            raise ValueError(
+                f"--batch_size {opt.batch_size} not divisible by "
+                f"--grad_accum {grad_accum}"
+            )
     if resident is not None:
         from swapnet_tpu.data.device_cache import build_resident_tick
 
         step_fn = build_resident_tick(system, preprocess, resident)
     else:
-        step_fn = build_tick(system, preprocess)
+        step_fn = build_tick(system, preprocess, grad_accum)
     saver = AsyncCheckpointer(ckpt_backend)
 
     profile_dir = getattr(opt, "profile_dir", None)
