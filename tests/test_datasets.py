@@ -140,13 +140,13 @@ def test_cache_data_items_identical_and_decode_once(dataroot, monkeypatch):
     want = [cold[i] for i in range(len(cold))]
 
     calls = {"n": 0}
-    real = dsmod.load_rgb
+    real = dsmod.load_rgb_resized
 
-    def counting_load(path):
+    def counting_load(path, size, backend="pil"):
         calls["n"] += 1
-        return real(path)
+        return real(path, size, backend)
 
-    monkeypatch.setattr(dsmod, "load_rgb", counting_load)
+    monkeypatch.setattr(dsmod, "load_rgb_resized", counting_load)
     ds = TextureDataset(_opt(dataroot, cache_data=True))
     for _ in range(3):  # three epochs over the same files
         for i in range(len(ds)):
