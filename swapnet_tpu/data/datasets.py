@@ -30,7 +30,12 @@ from swapnet_tpu.data.files import (
     remove_extension,
     remove_prefix,
 )
-from swapnet_tpu.data.image_io import load_rgb, load_rgb_resized, resize_rgb
+from swapnet_tpu.data.image_io import (
+    load_rgb,
+    load_rgb_resized,
+    load_rgb_resized_many,
+    resize_rgb,
+)
 from swapnet_tpu.data.rois import load_rois_csv
 from swapnet_tpu.data.stats import get_norm_stats
 
@@ -60,9 +65,45 @@ class _DecodeCache:
             self._store[key] = val
         return val
 
+    def peek(self, key: str):
+        with self._lock:
+            return self._store.get(key)
+
 
 def _maybe_cache(opt) -> Optional[_DecodeCache]:
     return _DecodeCache() if getattr(opt, "cache_data", False) else None
+
+
+def _batch_rgb_memo(paths, opt, cache, size) -> dict:
+    """Pre-decode a batch's RGB files in one C++ thread-pool call
+    (image_io.load_rgb_resized_many) -> {path: (u8 image, orig_w)}.
+
+    Active only for --decode_backend native/draft; already-cached paths
+    are skipped.  With backend pil this returns {} so the caller's
+    Python thread pool keeps doing per-item PIL decode as before.
+
+    --batch_decode auto (default) enables the batch call only on
+    multi-core hosts: the C++ pool's win is real thread parallelism.
+    On a single core the one long GIL-released decode burst per batch
+    interleaves WORSE with the consumer's device dispatch than per-item
+    decodes through the Python pool (measured: 337 -> 264 loader-fed
+    train img/s on the 1-core tunnel host), so auto falls back to
+    per-item there; "on"/"off" force either path."""
+    backend = getattr(opt, "decode_backend", "pil")
+    if backend not in ("native", "draft"):
+        return {}
+    mode = getattr(opt, "batch_decode", "auto")
+    if mode == "off" or (mode == "auto" and (os.cpu_count() or 1) < 2):
+        return {}
+    need, seen = [], set()
+    for p in paths:
+        if p in seen or (cache is not None and cache.peek(p) is not None):
+            continue
+        seen.add(p)
+        need.append(p)
+    if not need:
+        return {}
+    return load_rgb_resized_many(need, size, backend)
 
 
 class WarpDataset:
@@ -104,7 +145,12 @@ class WarpDataset:
             return self.cache.get(path, lambda: decompress_cloth_labels_resized(path, size))
         return decompress_cloth_labels_resized(path, size)
 
-    def _rgb(self, path: str, size: int) -> np.ndarray:
+    def _rgb(self, path: str, size: int, memo: Optional[dict] = None) -> np.ndarray:
+        if memo is not None and path in memo:
+            img = memo[path][0]
+            if self.cache is not None:
+                return self.cache.get(path, lambda: img)
+            return img
         backend = getattr(self.opt, "decode_backend", "pil")
         if self.cache is not None:
             return self.cache.get(
@@ -112,7 +158,28 @@ class WarpDataset:
             )
         return load_rgb_resized(path, size, backend)[0]
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def _body_file(self, index: int) -> str:
+        if self.is_train:
+            return get_corresponding_file(self.cloth_files[index], self.body_dir)
+        return self.body_files[index]
+
+    def getitems(self, indices, pool=None):
+        """Batch fetch: body RGBs decode in one C++ thread-pool call
+        (no GIL, no per-item Python dispatch); label npz assembly runs in
+        the caller's Python pool as before.  Falls back to per-item
+        behavior for --decode_backend pil or a missing native lib."""
+        size = self.opt.load_size
+        memo = _batch_rgb_memo(
+            [self._body_file(i) for i in indices], self.opt, self.cache, size
+        )
+        fetch = lambda i: self.__getitem__(i, _rgb_memo=memo)
+        if pool is not None:
+            return list(pool.map(fetch, indices))
+        return [fetch(i) for i in indices]
+
+    def __getitem__(
+        self, index: int, _rgb_memo: Optional[dict] = None
+    ) -> Dict[str, np.ndarray]:
         size = self.opt.load_size
         cloth_file = self.cloth_files[index]
         target_labels = self._labels(cloth_file, size)
@@ -126,12 +193,11 @@ class WarpDataset:
                 input_labels = self._labels(other, size)
             else:
                 raise ValueError(self.opt.dataset_mode)
-            body_file = get_corresponding_file(cloth_file, self.body_dir)
         else:
             input_labels = target_labels
-            body_file = self.body_files[index]
+        body_file = self._body_file(index)
 
-        body = self._rgb(body_file, size)
+        body = self._rgb(body_file, size, memo=_rgb_memo)
         return {
             "body_paths": body_file,
             "bodys_u8": body,
@@ -184,9 +250,14 @@ class TextureDataset:
             return len(self.texture_files)
         return min(len(self.texture_files), len(self.cloth_files))
 
-    def _texture(self, path: str, size: int):
+    def _texture(self, path: str, size: int, memo: Optional[dict] = None):
         """(resized uint8, original width) — cached together because the
         ROI scale needs the pre-resize width."""
+        if memo is not None and path in memo:
+            val = memo[path]
+            if self.cache is not None:
+                return self.cache.get(path, lambda: val)
+            return val
 
         def compute():
             # PIL width convention (reference texture_dataset.py:116)
@@ -198,10 +269,25 @@ class TextureDataset:
             return self.cache.get(path, compute)
         return compute()
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def getitems(self, indices, pool=None):
+        """Batch fetch: texture RGBs decode in one C++ thread-pool call
+        (with pre-resize widths for ROI scaling); label npz assembly runs
+        in the caller's Python pool.  Per-item fallback for backend pil."""
+        size = self.opt.load_size
+        memo = _batch_rgb_memo(
+            [self.texture_files[i] for i in indices], self.opt, self.cache, size
+        )
+        fetch = lambda i: self.__getitem__(i, _rgb_memo=memo)
+        if pool is not None:
+            return list(pool.map(fetch, indices))
+        return [fetch(i) for i in indices]
+
+    def __getitem__(
+        self, index: int, _rgb_memo: Optional[dict] = None
+    ) -> Dict[str, np.ndarray]:
         size = self.opt.load_size
         texture_file = self.texture_files[index]
-        texture_u8, original_size = self._texture(texture_file, size)
+        texture_u8, original_size = self._texture(texture_file, size, memo=_rgb_memo)
 
         file_id = remove_prefix(
             remove_extension(texture_file), self.texture_dir + "/"

@@ -60,5 +60,49 @@ def load_rgb_resized(
     return resize_rgb(img, size), img.shape[1]
 
 
+def load_rgb_resized_many(
+    paths, size: int, backend: str = "pil", nthreads: int = 0
+) -> dict:
+    """Batched fused decode+resize -> {path: ((size,size,3) u8, orig_w)}.
+
+    With backend "native"/"draft" the whole batch is decoded by the C++
+    thread pool in ONE ctypes call (native.decode_rgb_resized_batch) —
+    the torch-DataLoader-worker analog for multi-core hosts; items the
+    native path can't handle (exotic formats) fall back to PIL per item.
+    With backend "pil" (or no native lib) every item goes through
+    ``load_rgb_resized`` serially — callers that hold a thread pool
+    should prefer per-item calls in that case."""
+    paths = list(paths)
+    if backend in ("native", "draft"):
+        from swapnet_tpu.data import native
+
+        blobs, readable = [], []
+        for p in paths:
+            try:
+                with open(p, "rb") as f:
+                    blobs.append(f.read())
+                readable.append(p)
+            except OSError:
+                pass
+        if blobs:
+            res = native.decode_rgb_resized_batch(
+                blobs, size, jpeg_draft=(backend == "draft"),
+                nthreads=nthreads, with_dims=True,
+            )
+            if res is not None:
+                arr, failed, whs = res
+                bad = set(failed)
+                out = {
+                    p: (arr[i], int(whs[i, 0]))
+                    for i, p in enumerate(readable)
+                    if i not in bad
+                }
+                for p in paths:
+                    if p not in out:
+                        out[p] = load_rgb_resized(p, size, backend)
+                return out
+    return {p: load_rgb_resized(p, size, backend) for p in paths}
+
+
 def save_rgb(img: np.ndarray, path: str) -> None:
     Image.fromarray(np.asarray(img, dtype=np.uint8)).save(path)

@@ -113,13 +113,21 @@ class DataLoader:
                     continue
             return False
 
+        # datasets with a batch fast path (C++ threaded decode) get the
+        # whole index batch in one call; they use the Python pool for the
+        # residual per-item assembly
+        getitems = getattr(self.dataset, "getitems", None)
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idxs in batches:
                         if abandoned.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        if getitems is not None:
+                            items = getitems(list(idxs), pool=pool)
+                        else:
+                            items = list(pool.map(self.dataset.__getitem__, idxs))
                         if not put(self.collate(items)):
                             return
             except BaseException as e:  # surface worker errors to the consumer

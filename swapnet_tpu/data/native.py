@@ -82,7 +82,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.decode_rgb_resize_u8.restype = ctypes.c_int32
             lib.decode_rgb_resize_batch_u8.argtypes = [
                 _u8p, _i64p, ctypes.c_int32, ctypes.c_int32,
-                ctypes.c_int32, ctypes.c_int32, _u8p, _i32p,
+                ctypes.c_int32, ctypes.c_int32, _u8p, _i32p, _i32p,
             ]
         _lib = lib
         return _lib
@@ -143,12 +143,16 @@ def decode_rgb_resized(
 
 
 def decode_rgb_resized_batch(
-    items, size: int, jpeg_draft: bool = False, nthreads: int = 0
-) -> Optional[np.ndarray]:
+    items, size: int, jpeg_draft: bool = False, nthreads: int = 0,
+    with_dims: bool = False,
+):
     """Threaded batch decode of byte buffers -> (n, size, size, 3) uint8.
-    Items that fail native decode come back as None entries in the second
-    return value so the caller can PIL-fallback per item.  Returns
-    (array, failed_indices) or None when the native lib is unavailable."""
+
+    One ctypes call hands the whole IO batch to a real C++ thread pool —
+    no GIL, no per-item Python dispatch (the torch DataLoader-worker
+    analog).  Returns (array, failed_indices) — callers PIL-fallback the
+    failed items — plus an (n, 2) int32 array of pre-resize (w, h) when
+    ``with_dims``.  None when the native lib is unavailable."""
     lib = get_lib()
     if lib is None or not lib.swapnet_has_image_decode():
         return None
@@ -163,12 +167,14 @@ def decode_rgb_resized_batch(
         blob[int(offsets[i]):int(offsets[i + 1])] = np.frombuffer(b, np.uint8)
     out = np.empty((n, size, size, 3), dtype=np.uint8)
     statuses = np.zeros(n, dtype=np.int32)
+    whs = np.zeros((n, 2), dtype=np.int32)
     lib.decode_rgb_resize_batch_u8(
         _ptr(blob, _u8p), _ptr(offsets, _i64p), n, size, int(jpeg_draft),
         nthreads, _ptr(out, _u8p), _ptr(statuses, _i32p),
+        _ptr(whs, _i32p) if with_dims else None,
     )
     failed = [int(i) for i in np.nonzero(statuses)[0]]
-    return out, failed
+    return (out, failed, whs) if with_dims else (out, failed)
 
 
 def csc_to_dense(

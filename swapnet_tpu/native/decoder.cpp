@@ -319,12 +319,15 @@ int32_t decode_rgb_resize_u8(const uint8_t* buf, int64_t len,
 
 // Threaded batch decode: bufs is one concatenated byte blob with offsets
 // (n+1 entries); out is (n, out_size, out_size, 3).  Per-item status in
-// statuses (0 = ok).  The DataLoader-worker analog: real C++ threads, no
-// GIL — Python hands over the whole IO batch in one call.
+// statuses (0 = ok).  orig_whs (n x 2 int32, may be null) receives each
+// item's pre-resize dimensions (ROI scaling needs the original width).
+// The DataLoader-worker analog: real C++ threads, no GIL — Python hands
+// over the whole IO batch in one call.
 void decode_rgb_resize_batch_u8(const uint8_t* blob, const int64_t* offsets,
                                 int32_t n, int32_t out_size,
                                 int32_t jpeg_draft, int32_t nthreads,
-                                uint8_t* out, int32_t* statuses) {
+                                uint8_t* out, int32_t* statuses,
+                                int32_t* orig_whs) {
   const size_t item = (size_t)out_size * out_size * 3;
   nthreads = std::max(1, std::min(nthreads, n));
   std::vector<std::thread> pool;
@@ -334,7 +337,7 @@ void decode_rgb_resize_batch_u8(const uint8_t* blob, const int64_t* offsets,
       for (int32_t i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
         statuses[i] = decode_one(blob + offsets[i], offsets[i + 1] - offsets[i],
                                  out_size, jpeg_draft, out + (size_t)i * item,
-                                 nullptr);
+                                 orig_whs ? orig_whs + (size_t)i * 2 : nullptr);
       }
     });
   }

@@ -170,3 +170,66 @@ def test_cache_data_warp_video_mode_pairing_still_random(dataroot):
         inputs.add(item["input_labels"].tobytes())
     assert len(pairs) == 1
     assert len(inputs) > 1  # random other frames still vary
+
+
+def _native_available():
+    from swapnet_tpu.data import native
+
+    return native.has_image_decode()
+
+
+@pytest.mark.parametrize("cache_data", [False, True])
+def test_getitems_batch_decode_matches_per_item(dataroot, cache_data):
+    """The loader's batch fast path (getitems -> one C++ thread-pool decode
+    call) must produce items identical to per-item __getitem__."""
+    if not _native_available():
+        pytest.skip("native image decode unavailable")
+    from concurrent.futures import ThreadPoolExecutor
+
+    for cls in (WarpDataset, TextureDataset):
+        per_item = cls(_opt(dataroot, decode_backend="native"))
+        batched = cls(
+            _opt(dataroot, decode_backend="native", cache_data=cache_data)
+        )
+        idxs = [0, 3, 1, 3]  # duplicate index: memo dedup path
+        with ThreadPoolExecutor(2) as pool:
+            items = batched.getitems(idxs, pool=pool)
+        for got, i in zip(items, idxs):
+            want = per_item.__getitem__(i)
+            for k in want:
+                if isinstance(want[k], np.ndarray):
+                    np.testing.assert_array_equal(got[k], want[k], err_msg=f"{cls.__name__}.{k}")
+                else:
+                    assert got[k] == want[k]
+        if cache_data:  # second pass must serve from cache, still equal
+            rgb_key = "bodys_u8" if cls is WarpDataset else "textures_u8"
+            again = batched.getitems(idxs)
+            for got, prev in zip(again, items):
+                np.testing.assert_array_equal(got[rgb_key], prev[rgb_key])
+
+
+def test_getitems_pil_backend_falls_back_per_item(dataroot):
+    """backend pil: getitems must not touch the native batch path."""
+    ds = TextureDataset(_opt(dataroot, decode_backend="pil"))
+    items = ds.getitems([0, 2])
+    for got, i in zip(items, [0, 2]):
+        want = ds[i]
+        np.testing.assert_array_equal(got["textures_u8"], want["textures_u8"])
+        np.testing.assert_array_equal(got["rois"], want["rois"])
+
+
+def test_loader_uses_getitems(dataroot):
+    """DataLoader must route whole batches through dataset.getitems."""
+    calls = []
+
+    class Spy(WarpDataset):
+        def getitems(self, indices, pool=None):
+            calls.append(list(indices))
+            return super().getitems(indices, pool=pool)
+
+    ds = Spy(_opt(dataroot, decode_backend="pil"))
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(calls) == len(batches) == 2
+    assert sorted(sum(calls, [])) == list(range(6))
+    assert batches[0]["bodys_u8"].shape == (4, SIZE, SIZE, 3)

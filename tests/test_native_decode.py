@@ -93,6 +93,43 @@ def test_batch_threaded_equals_single():
         assert np.array_equal(arr[i], single), i
 
 
+def test_batch_with_dims_reports_originals():
+    items = [
+        _encode(_img(seed=1, h=150, w=200), "PNG"),
+        _encode(_img(seed=2, h=512, w=640), "JPEG", quality=90),
+    ]
+    arr, failed, whs = native.decode_rgb_resized_batch(
+        items, 64, nthreads=2, with_dims=True
+    )
+    assert failed == []
+    assert whs.tolist() == [[200, 150], [640, 512]]
+    # draft decode must also report PRE-scale dims (ROI scaling needs them)
+    _, _, whs_d = native.decode_rgb_resized_batch(
+        items, 64, jpeg_draft=True, nthreads=2, with_dims=True
+    )
+    assert whs_d.tolist() == [[200, 150], [640, 512]]
+
+
+def test_load_rgb_resized_many(tmp_path):
+    from swapnet_tpu.data.image_io import load_rgb_resized_many
+
+    paths = []
+    for s, fmt in [(0, "JPEG"), (1, "PNG"), (2, "BMP")]:  # BMP: PIL fallback
+        p = tmp_path / f"x{s}.{fmt.lower()}"
+        Image.fromarray(_img(seed=s, h=150 + s, w=200)).save(p)
+        paths.append(str(p))
+    many = load_rgb_resized_many(paths, 64, "native")
+    assert set(many) == set(paths)
+    for s, p in enumerate(paths):
+        img, w = many[p]
+        single_img, single_w = load_rgb_resized(p, 64, "native")
+        assert w == single_w == 200
+        assert np.array_equal(img, single_img), p
+    # pil backend: plain per-item dict
+    many_pil = load_rgb_resized_many(paths, 64, "pil")
+    assert all(many_pil[p][1] == 200 for p in paths)
+
+
 def test_load_rgb_resized_backends(tmp_path):
     img = _img()
     p = tmp_path / "x.jpg"
