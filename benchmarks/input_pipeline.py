@@ -251,8 +251,27 @@ def main():
         out = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "input_pipeline.json"
         )
+        # key by config so re-runs under different loader settings append
+        # instead of overwriting an incomparable measurement in place
+        key = (
+            f"{args.model}_b{args.batch}_s{args.size}"
+            f"_{args.decode_backend}"
+            f"{'_cachedata' if args.cache_data else ''}"
+            f"{'_cachedev' if args.cache_device else ''}"
+            f"{('_spc' + str(args.steps_per_call)) if args.steps_per_call > 1 else ''}"
+        )
+        book = {}
+        if os.path.exists(out):
+            try:
+                with open(out) as f:
+                    prev = json.load(f)
+                # migrate a legacy single-result file into the keyed format
+                book = prev if "train_images_per_sec" not in prev else {}
+            except (json.JSONDecodeError, OSError):
+                book = {}
+        book[key] = result
         with open(out, "w") as f:
-            json.dump(result, f, indent=2)
+            json.dump(book, f, indent=2)
         print(json.dumps(result, indent=2))
     finally:
         if cleanup:

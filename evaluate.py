@@ -18,6 +18,7 @@ reference (it has no quantitative evaluation); flags mirror inference.py.
 
 import json
 import os
+import sys
 
 from swapnet_tpu.evaluation import evaluate_system, make_vgg_feature_fn
 from swapnet_tpu.inference import _rebuild_from_checkpoint
@@ -52,6 +53,7 @@ def main(opt):
         system, state, loaded_opt, dataset, loader, preprocess = (
             _rebuild_from_checkpoint(opt, ckpt_file, **kwargs)
         )
+        extra = {}
         if stage == "warp":
             metrics = evaluate_system(
                 system, state, loader, preprocess, kind="segmentation"
@@ -62,12 +64,25 @@ def main(opt):
                 from swapnet_tpu.models.vgg import load_torch_vgg16_features
 
                 vgg_vars = load_torch_vgg16_features(opt.vgg_checkpoint)
+            extra["fid_backbone"] = (
+                "vgg16-ported" if vgg_vars is not None else "vgg16-random"
+            )
+            if vgg_vars is None:
+                print(
+                    "WARNING: no --vgg_checkpoint given; fid_vgg uses a "
+                    "RANDOM-init VGG16 backbone — comparable only between "
+                    "runs of this build, not to published FID numbers",
+                    file=sys.stderr,
+                )
             feature_fn = make_vgg_feature_fn(vgg_vars, loaded_opt.crop_size)
             metrics = evaluate_system(
                 system, state, loader, preprocess, kind="image",
                 fid_feature_fn=feature_fn,
             )
-        print(json.dumps({"stage": stage, **{k: round(v, 5) for k, v in metrics.items()}}))
+        print(json.dumps(
+            {"stage": stage,
+             **{k: round(v, 5) for k, v in metrics.items()}, **extra}
+        ))
 
 
 if __name__ == "__main__":

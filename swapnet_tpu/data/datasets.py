@@ -146,6 +146,10 @@ class WarpDataset:
         return decompress_cloth_labels_resized(path, size)
 
     def _rgb(self, path: str, size: int, memo: Optional[dict] = None) -> np.ndarray:
+        # NO-MUTATION CONTRACT: returned arrays may be views into a shared
+        # (n, size, size, 3) batch buffer (memo hits) or cache entries shared
+        # across epochs; consumers must treat dataset items as read-only.
+        # default_collate's np.stack copies before anything touches device.
         if memo is not None and path in memo:
             img = memo[path][0]
             if self.cache is not None:

@@ -99,7 +99,9 @@ def load_rgb_resized_many(
                 }
                 for p in paths:
                     if p not in out:
-                        out[p] = load_rgb_resized(p, size, backend)
+                        # these items just failed (or were unreadable by) the
+                        # native path — go straight to PIL, don't retry native
+                        out[p] = load_rgb_resized(p, size, "pil")
                 return out
     return {p: load_rgb_resized(p, size, backend) for p in paths}
 

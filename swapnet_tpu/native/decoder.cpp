@@ -281,7 +281,11 @@ int decode_one(const uint8_t* buf, int64_t len, int32_t out_size,
         jpeg_destroy_decompress(&ci);
         orig_wh = nullptr;  // filled
       } else {
+        // header re-read failed: without original dims the tail code would
+        // report DCT-scaled dims and silently skew ROI scaling — force the
+        // PIL fallback for this item instead.
         jpeg_destroy_decompress(&ci);
+        return 1;
       }
     }
   } else if (buf[0] == 0x89 && buf[1] == 'P') {

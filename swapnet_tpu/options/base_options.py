@@ -139,6 +139,12 @@ class BaseOptions:
                                  "numerics), native (C++ libjpeg/libpng + "
                                  "PIL-compatible resample, ±1/255), draft "
                                  "(native + JPEG DCT-scaled decode, fastest)")
+        parser.add_argument("--batch_decode", default="auto",
+                            choices=("auto", "on", "off"),
+                            help="native batch decode (one C++ thread-pool "
+                                 "call per batch): auto enables it only on "
+                                 "multi-core hosts, on/off force it; only "
+                                 "meaningful with --decode_backend native/draft")
         parser.add_argument("--shard_space", type=int, default=1,
                             help="size of the mesh 'space' axis: shard image "
                                  "height over this many devices (conv halo "

@@ -47,6 +47,11 @@ class TestOptions(BaseOptions):
         parser.add_argument("--dataroot", required=False,
                             help="path to dataroot if cloth, body, and texture not "
                                  "individually specified")
+        parser.add_argument("--vgg_checkpoint", default=None,
+                            help="path to a torchvision vgg16 .pth; used by "
+                                 "evaluate.py as the FID feature backbone "
+                                 "(random-init VGG if absent — fid_vgg is then "
+                                 "only comparable between runs of this build)")
         parser.add_argument("--model", help=argparse.SUPPRESS)
         parser.add_argument("--name", default="", help=argparse.SUPPRESS)
 

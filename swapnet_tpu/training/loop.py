@@ -230,18 +230,15 @@ def train(opt):
             state = jax.device_put(state, state_sharding(mesh, state))
 
     grad_accum = max(1, getattr(opt, "grad_accum", 1))
-    if grad_accum > 1:
-        if resident is not None:
-            raise ValueError("--grad_accum with --cache_device is not supported")
-        if opt.batch_size % grad_accum:
-            raise ValueError(
-                f"--batch_size {opt.batch_size} not divisible by "
-                f"--grad_accum {grad_accum}"
-            )
+    if grad_accum > 1 and opt.batch_size % grad_accum:
+        raise ValueError(
+            f"--batch_size {opt.batch_size} not divisible by "
+            f"--grad_accum {grad_accum}"
+        )
     if resident is not None:
         from swapnet_tpu.data.device_cache import build_resident_tick
 
-        step_fn = build_resident_tick(system, preprocess, resident)
+        step_fn = build_resident_tick(system, preprocess, resident, grad_accum)
     else:
         step_fn = build_tick(system, preprocess, grad_accum)
     saver = AsyncCheckpointer(ckpt_backend)

@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 from scipy import sparse
 
+pytestmark = pytest.mark.smoke
+
 from swapnet_tpu.data import (
     compress_and_save_cloth,
     decompress_cloth_labels,

@@ -77,6 +77,7 @@ def checkpoints(dataroot, tmp_path_factory):
     return ckpts
 
 
+@pytest.mark.smoke
 def test_training_writes_reference_layout(checkpoints):
     warp_dir = checkpoints / "warp"
     assert (warp_dir / "args.json").exists()
@@ -94,6 +95,7 @@ def test_training_writes_reference_layout(checkpoints):
     assert (tex_dir / "latest_optim_D.msgpack").exists()
 
 
+@pytest.mark.smoke
 def test_two_stage_inference(checkpoints, dataroot, tmp_path_factory):
     results = tmp_path_factory.mktemp("results")
     config = TestOptions()
@@ -308,6 +310,30 @@ def test_cache_device_training_e2e(dataroot, tmp_path_factory):
     state = train(opt)
     assert int(state.step) == N_ITEMS  # 2 epochs x 2 steps
     assert (ckpts / "warp_res" / "latest_net_generator.msgpack").exists()
+
+
+def test_cache_device_with_grad_accum_e2e(dataroot, tmp_path_factory):
+    """--cache_device composed with --grad_accum (the lifted VERDICT r2
+    incompatibility): the resident tick reshapes the gathered batch into
+    micro-batches and runs the accumulated step."""
+    ckpts = tmp_path_factory.mktemp("resident_accum_ckpts")
+    opt = TrainOptions().parse(
+        print_options=False,
+        args=[
+            "--model", "warp", "--name", "warp_res_acc", "--warp_mode", "ce",
+            "--cache_device", "--grad_accum", "2",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(ckpts),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+            "--latest_checkpoint_freq", "0", "--print_freq", "2",
+            "--display_freq", "2", "--num_workers", "2",
+            "--compute_dtype", "float32",
+        ],
+    )
+    state = train(opt)
+    assert int(state.step) == 2  # 1 epoch x 2 steps (batch 2 = 2 micro x 1)
+    assert (ckpts / "warp_res_acc" / "latest_net_generator.msgpack").exists()
 
 
 def test_dcn_slices_training_e2e(dataroot, tmp_path_factory):

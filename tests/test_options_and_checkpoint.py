@@ -19,6 +19,7 @@ def _parse_train(extra, store=False):
     )
 
 
+@pytest.mark.smoke
 def test_reference_defaults():
     """Key defaults must match the reference CLI (BASELINE.md row 4)."""
     opt = _parse_train([])
@@ -71,6 +72,7 @@ def test_test_options_validation():
         )
 
 
+@pytest.mark.smoke
 def test_args_json_roundtrip(tmp_path):
     opt = TrainOptions().parse(
         print_options=False, store_options=True,
@@ -95,6 +97,7 @@ def _tiny_batch(size=64):
     }
 
 
+@pytest.mark.smoke
 def test_checkpoint_roundtrip(tmp_path):
     system = WarpSystem(warp_mode="gan")
     batch = _tiny_batch()

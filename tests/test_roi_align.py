@@ -8,6 +8,8 @@ import pytest
 
 from swapnet_tpu.ops import roi_align, roi_align_reference
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture
 def rng():
