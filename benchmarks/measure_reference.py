@@ -198,6 +198,23 @@ def measure_texture_gan(batch, size, steps):
     return steps * batch / dt
 
 
+def measure_warp_inference(size, steps):
+    """Warp-stage-only forward (batch 1, eval) — the BASELINE config-1
+    analog (reference inference.py:129-159 without the dataset/IO)."""
+    from modules.swapnet_modules import WarpModule
+
+    G1 = WarpModule(3, 19).eval()
+    body = torch.randn(1, 3, size, size)
+    cloth = torch.randn(1, 19, size, size)
+    times = []
+    with torch.no_grad():
+        for _ in range(steps + 1):
+            t0 = time.perf_counter()
+            G1(body, cloth)
+            times.append(time.perf_counter() - t0)
+    return float(np.median(times[1:]))
+
+
 def measure_swap_latency(size, steps):
     """Per-pair two-stage swap (warp fwd -> texture fwd), batch 1 eval."""
     from modules.swapnet_modules import WarpModule, TextureModule
@@ -237,6 +254,8 @@ if __name__ == "__main__":
     print(f"reference texture GAN train: {tex_ips:.3f} images/sec (CPU)")
     swap_lat = measure_swap_latency(args.size, args.steps)
     print(f"reference two-stage swap p50: {swap_lat * 1000:.1f} ms (CPU, batch 1)")
+    warp_lat = measure_warp_inference(args.size, args.steps)
+    print(f"reference warp-only inference p50: {warp_lat * 1000:.1f} ms (CPU, batch 1)")
 
     out = {
         "hardware": f"host CPU ({os.cpu_count()} threads), torch {torch.__version__}",
@@ -247,6 +266,7 @@ if __name__ == "__main__":
         "warp_gan_train_images_per_sec": round(warp_ips, 3),
         "texture_gan_train_images_per_sec": round(tex_ips, 3),
         "two_stage_swap_p50_ms": round(swap_lat * 1000, 2),
+        "warp_inference_p50_ms": round(warp_lat * 1000, 2),
     }
     path = os.path.join(os.path.dirname(__file__), "..", "BASELINE_MEASURED.json")
     with open(path, "w") as f:
