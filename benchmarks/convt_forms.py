@@ -24,12 +24,13 @@ import jax.numpy as jnp
 from benchmarks.timing import scan_seconds_per_step
 from swapnet_tpu.models.layers import _convt_4s2p1_subpixel
 
-SHAPES = [  # (B, H, W, Cin) -> Cout at the UNet decoder stages
-    ((8, 8, 8, 1024), 512),
-    ((8, 16, 16, 1024), 256),
-    ((8, 32, 32, 512), 128),
-    ((8, 64, 64, 256), 64),
-    ((8, 64, 64, 128), 3),
+SHAPES = [  # (B, H, W, Cin) -> Cout at the warp/UNet decoder stages
+    # batch 1: the form choice matters for the CPU-pinned inference config
+    ((1, 4, 4, 1024), 1024),
+    ((1, 8, 8, 1024), 512),
+    ((1, 8, 8, 1024), 256),
+    ((1, 16, 16, 768), 128),
+    ((1, 32, 32, 384), 64),
 ]
 
 
@@ -42,9 +43,18 @@ def dilated(x, k):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override batch (default: SHAPES as-is; TPU A/B uses 8)")
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+    shapes = SHAPES
+    if args.batch is not None:
+        shapes = [((args.batch,) + xs[1:], co) for xs, co in SHAPES]
     dt = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     out = {"device": str(jax.devices()[0]), "dtype": str(dt.__name__), "shapes": {}}
-    for (xs, co) in SHAPES:
+    for (xs, co) in shapes:
         key = jax.random.fold_in(jax.random.key(0), xs[1] * 1000 + co)
         x = jax.random.normal(key, xs).astype(dt)
         k = jax.random.normal(key, (4, 4, co, xs[-1])).astype(dt)
@@ -57,13 +67,13 @@ def main():
         for name, fn in [("lhs_dilation", dilated), ("subpixel", _convt_4s2p1_subpixel)]:
             g = jax.grad(loss(fn))
             step = lambda args: tuple(a + b.astype(a.dtype) for a, b in zip(args, g(args)))
-            sec = scan_seconds_per_step(step, (x, k), k=30)
+            sec = scan_seconds_per_step(step, (x, k), k=args.steps)
             res[name] = round(sec * 1e6, 1)  # us per fwd+bwd
         res["subpixel_speedup"] = round(res["lhs_dilation"] / res["subpixel"], 3)
         out["shapes"][f"{xs}->{co}"] = res
         print(f"{xs}->{co}", res, flush=True)
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "convt_forms.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "convt_forms%s.json" % ("" if jax.default_backend() == "cpu" else "_tpu"))
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
