@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from __graft_entry__ import _texture_batch
-from benchmarks.timing import scan_seconds_per_step
+from benchmarks.timing import chain_seconds_per_step
 from swapnet_tpu.training import TextureSystem
 
 
@@ -56,11 +56,16 @@ def measure(size, batch, accum, k):
         fn = lambda s: system.train_step_accum(s, mb)[0]
     else:
         fn = lambda s: system.train_step(s, batch_d)[0]
-    sec = min(scan_seconds_per_step(fn, state, k=k) for _ in range(2))
+    # chained-dispatch timing: ONE compile (a 512^2 fused step takes >10 min
+    # to compile through the remote compiler; the fori_loop slope method
+    # would need three such compiles).  Conservative: includes per-dispatch
+    # tunnel overhead the fori_loop method cancels.
+    sec = chain_seconds_per_step(fn, state, k=k)
     return {
         "images_per_sec": round(batch / sec, 2),
         "seconds_per_step": round(sec, 5),
         "peak_hbm_mb": hbm_peak_mb(),
+        "timing": "chained-dispatch slope (benchmarks/timing.py)",
     }
 
 

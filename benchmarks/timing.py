@@ -62,6 +62,27 @@ def scan_seconds_per_step(step_state_fn: Callable, state, k: int = 30) -> float:
     return _slope_seconds(loop, state, k)
 
 
+def chain_seconds_per_step(step_state_fn: Callable, state, k: int = 6) -> float:
+    """Like scan_seconds_per_step but compiles the step ONCE and chains K
+    host dispatches (state -> state), blocking on the final result.  For
+    big programs (512^2) where compiling three fori_loop variants would
+    take tens of minutes.  The K vs 2K vs 4K slope still cancels constant
+    overhead and still catches the early-return bug; per-dispatch tunnel
+    overhead is NOT cancelled, so this is a conservative (slower) bound."""
+    f = jax.jit(step_state_fn)
+    jax.block_until_ready(f(state))  # compile
+
+    def chain(n):
+        def run(s):
+            for _ in range(n):
+                s = f(s)
+            return s
+
+        return run
+
+    return _slope_seconds(chain, state, k)
+
+
 def scan_seconds_per_iter_fn(
     iter_fn: Callable, k: int = 50, *extra_args
 ) -> float:

@@ -68,6 +68,7 @@ class TextureSystem(BaseGANSystem):
         wgan_clamp: bool = True,
         is_train: bool = True,
         compat_image_gram: bool = False,
+        remat_perceptual: bool = False,
     ):
         if netG == "swapnet":
             generator = TextureModule(
@@ -116,6 +117,18 @@ class TextureSystem(BaseGANSystem):
         self.perc_cfg = PerceptualLossConfig(
             use_style=lambda_style != 0, compat_image_gram=compat_image_gram
         )
+        # Rematerialize the perceptual block in the backward: the saved
+        # residuals of the differentiated VGG pass + Gram matrices are the
+        # largest activation block in the whole train step (~545 MB of the
+        # ~830 MB total at 128^2 batch 8, benchmarks/compulsory_bytes.json —
+        # the (B*C)x(B*C) f32 grams alone are ~310 MB).  Recomputing them
+        # costs ~0.4 ms of MXU time vs ~1.3 ms of HBM round-trips saved.
+        # Numerics are bit-identical (same ops, re-run), unlike quantization
+        # levers, so this is safe for reference-parity training.  Default
+        # False until the on-chip A/B (benchmarks/remat_perceptual_ab.py)
+        # proves it: the round-2 generator-remat result (LOST 10%, ROADMAP)
+        # shows recompute's own HBM writes can eat the residual savings.
+        self.remat_perceptual = remat_perceptual
 
     def frozen_variables(self):
         return {"vgg": self._vgg_variables} if self.use_perceptual else None
@@ -158,8 +171,17 @@ class TextureSystem(BaseGANSystem):
             out["loss_G_l1"] = l1 * self.lambda_l1
         if self.use_perceptual:
             vgg_vars = frozen["vgg"] if frozen is not None else self._vgg_variables
-            vgg_apply = lambda x: self.vgg.apply(vgg_vars, x)
-            content, style = perceptual_loss(vgg_apply, fakes, targets, self.perc_cfg)
+
+            def perc(fakes_, targets_, vgg_vars_):
+                vgg_apply = lambda x: self.vgg.apply(vgg_vars_, x)
+                return perceptual_loss(vgg_apply, fakes_, targets_, self.perc_cfg)
+
+            if self.remat_perceptual:
+                # saves only (fakes, targets, vgg params) fwd->bwd; VGG
+                # activations + grams recompute in the backward (see the
+                # remat_perceptual note in __init__)
+                perc = jax.checkpoint(perc)
+            content, style = perc(fakes, targets, vgg_vars)
             if self.lambda_content:
                 out["loss_G_content"] = content * self.lambda_content
             if self.lambda_style:
