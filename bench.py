@@ -28,7 +28,7 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _texture_batch
-    from benchmarks.timing import scan_seconds_per_step
+    from benchmarks.timing import measure
     from swapnet_tpu.training import TextureSystem
 
     size, batch = 128, int(os.environ.get("BENCH_BATCH", 8))
@@ -38,14 +38,15 @@ def main():
     batch_d = _texture_batch(batch, size)
     state = system.init_state(jax.random.key(0), batch_d)
 
-    # two independent slope measurements, best wins: tunnel contention and
-    # thermal noise showed ~±6% run-to-run spread on identical builds
-    sec = min(
-        scan_seconds_per_step(
-            lambda s: system.train_step(s, batch_d)[0], state, k=k
-        )
-        for _ in range(2)
+    # canonical harness (benchmarks/timing.py:measure): 4 independent
+    # fori_loop slope estimates, best wins, spread recorded in the output.
+    # Plausibility floor = the compulsory-bytes floor for this config
+    # (benchmarks/compulsory_bytes.json: 3.53 ms/step), slightly relaxed.
+    m = measure(
+        lambda s: system.train_step(s, batch_d)[0], state, k=k, n_runs=4,
+        min_plausible_s=3.0e-3 * (batch / 8),
     )
+    sec = m["seconds_per_step"]
     images_per_sec = batch / sec
 
     vs_baseline = None
@@ -64,6 +65,9 @@ def main():
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "method": m["method"],
+                "n_runs": m["n_runs"],
+                "spread_pct": m["spread_pct"],
             }
         )
     )

@@ -61,6 +61,24 @@ def nbytes(tree):
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
 
 
+def _check_saved_residuals_prose():
+    """saved_residuals describes argument-sourced residuals with the prose
+    'from the argument' on jax 0.9.0; guard against a silent wording change
+    in a future jax (which would inflate the floor by counting inputs)."""
+    probe = lambda a, b: jnp.sin(a) * b
+    descs = [
+        what
+        for _, what in ad_checkpoint.saved_residuals(
+            probe, jnp.ones(3), jnp.ones(3)
+        )
+    ]
+    assert any("from the argument" in w for w in descs), (
+        "jax.ad_checkpoint.saved_residuals no longer says 'from the "
+        f"argument' for argument residuals (got {descs}); update "
+        "residual_bytes' filter before trusting this floor"
+    )
+
+
 def residual_bytes(f, *args):
     """Bytes of intermediate residuals saved fwd->bwd, excluding the
     function's own inputs (params/batch traffic is counted separately)."""
@@ -73,6 +91,7 @@ def residual_bytes(f, *args):
 
 
 def main():
+    _check_saved_residuals_prose()
     batch_n, size = 8, 128
     system = TextureSystem(img_size=size, dtype=jnp.bfloat16)
     batch = _texture_batch(batch_n, size)

@@ -15,7 +15,7 @@ per-dispatch timing is unreliable in BOTH directions.  The robust method:
 from __future__ import annotations
 
 import time
-from typing import Callable
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,13 +62,24 @@ def scan_seconds_per_step(step_state_fn: Callable, state, k: int = 30) -> float:
     return _slope_seconds(loop, state, k)
 
 
-def chain_seconds_per_step(step_state_fn: Callable, state, k: int = 6) -> float:
+def chain_seconds_per_step(
+    step_state_fn: Callable, state, k: int = 6,
+    min_plausible_s: Optional[float] = None,
+) -> float:
     """Like scan_seconds_per_step but compiles the step ONCE and chains K
     host dispatches (state -> state), blocking on the final result.  For
     big programs (512^2) where compiling three fori_loop variants would
-    take tens of minutes.  The K vs 2K vs 4K slope still cancels constant
-    overhead and still catches the early-return bug; per-dispatch tunnel
-    overhead is NOT cancelled, so this is a conservative (slower) bound."""
+    take tens of minutes.  Per-dispatch tunnel overhead is NOT cancelled,
+    so this is a conservative (slower) bound.
+
+    CAVEAT (advisor, round 3): unlike the fori_loop form, the K/2K/4K
+    slope here does NOT reliably catch the axon early-return bug — if
+    ``block_until_ready`` returns after dispatch instead of completion,
+    per-dispatch *host* cost still scales linearly with K and the slopes
+    stay positive and consistent, silently reporting host dispatch cost
+    as seconds/step.  Callers MUST pass ``min_plausible_s`` (e.g. the
+    compulsory-bytes floor scaled to the config) so an implausibly fast
+    result raises instead of being recorded."""
     f = jax.jit(step_state_fn)
     jax.block_until_ready(f(state))  # compile
 
@@ -80,7 +91,14 @@ def chain_seconds_per_step(step_state_fn: Callable, state, k: int = 6) -> float:
 
         return run
 
-    return _slope_seconds(chain, state, k)
+    sec = _slope_seconds(chain, state, k)
+    if min_plausible_s is not None and sec < min_plausible_s:
+        raise RuntimeError(
+            f"chain timing implausibly fast ({sec * 1e3:.3f} ms/step < floor "
+            f"{min_plausible_s * 1e3:.3f} ms) — block_until_ready likely "
+            "returned early (axon bug); measurement void"
+        )
+    return sec
 
 
 def scan_seconds_per_iter_fn(
@@ -103,3 +121,84 @@ def scan_seconds_per_iter_fn(
         return lambda c: f(c, *extra_args)
 
     return _slope_seconds(builder, jnp.float32(0), k)
+
+
+# ---------------------------------------------------------------------------
+# Canonical measurement API (round 4).
+#
+# Round 3 recorded the same texture config at 790/890/913/928/951/994 img/s
+# across different scripts because each used a different harness (fori_loop
+# absolute vs slope, different K, different session).  Every perf JSON must
+# now come from measure()/measure_ab() below and record the returned
+# metadata ({method, k, n_runs, spread_pct, runs_ms}) so numbers from
+# different files are comparable and A/B deltas are adjudicable.
+# ---------------------------------------------------------------------------
+
+
+def measure(
+    step_state_fn: Callable,
+    state,
+    k: int = 20,
+    n_runs: int = 4,
+    min_plausible_s: Optional[float] = None,
+) -> Dict:
+    """Canonical throughput measurement: ``n_runs`` independent fori_loop
+    slope estimates (each internally validated K/2K/4K), best wins, spread
+    recorded.  Returns a dict to embed verbatim in the benchmark JSON:
+
+      {seconds_per_step, method, k, n_runs, spread_pct, runs_ms}
+
+    ``spread_pct`` is 100*(max-min)/min over the n_runs estimates — the
+    honest same-session noise band.  A/B deltas smaller than the larger of
+    the two variants' spreads are a wash, not a result (use measure_ab to
+    interleave variants so they share session conditions)."""
+    runs = [
+        scan_seconds_per_step(step_state_fn, state, k=k) for _ in range(n_runs)
+    ]
+    best = min(runs)
+    if min_plausible_s is not None and best < min_plausible_s:
+        raise RuntimeError(
+            f"measured {best * 1e3:.3f} ms/step < plausibility floor "
+            f"{min_plausible_s * 1e3:.3f} ms — runtime returned early; void"
+        )
+    return {
+        "seconds_per_step": best,
+        "method": "fori_loop K/2K/4K slope, best of n_runs",
+        "k": k,
+        "n_runs": n_runs,
+        "spread_pct": round(100.0 * (max(runs) - best) / best, 2),
+        "runs_ms": [round(r * 1e3, 4) for r in runs],
+    }
+
+
+def measure_ab(
+    variants: Dict[str, Tuple[Callable, object]],
+    k: int = 20,
+    n_rounds: int = 4,
+    min_plausible_s: Optional[float] = None,
+) -> Dict[str, Dict]:
+    """Interleaved A/B: one slope estimate per variant per round, variants
+    alternating within the same session so thermal/tunnel drift hits all
+    arms equally.  ``variants`` maps name -> (step_state_fn, state).
+    Returns {name: measure()-style dict}."""
+    runs: Dict[str, list] = {name: [] for name in variants}
+    for _ in range(n_rounds):
+        for name, (fn, st) in variants.items():
+            runs[name].append(scan_seconds_per_step(fn, st, k=k))
+    out = {}
+    for name, rs in runs.items():
+        best = min(rs)
+        if min_plausible_s is not None and best < min_plausible_s:
+            raise RuntimeError(
+                f"variant {name}: {best * 1e3:.3f} ms/step < floor "
+                f"{min_plausible_s * 1e3:.3f} ms — void"
+            )
+        out[name] = {
+            "seconds_per_step": best,
+            "method": "fori_loop K/2K/4K slope, interleaved A/B, best of rounds",
+            "k": k,
+            "n_runs": n_rounds,
+            "spread_pct": round(100.0 * (max(rs) - best) / best, 2),
+            "runs_ms": [round(r * 1e3, 4) for r in rs],
+        }
+    return out

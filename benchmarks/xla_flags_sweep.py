@@ -74,10 +74,17 @@ def main():
         env = dict(os.environ)
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
         env["SWEEP_NAME"] = name
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            env=env, capture_output=True, text=True, timeout=560, cwd=REPO,
-        )
+        try:
+            # generous: remote compiles through the tunnel have been seen at
+            # ~7 min/program and the child compiles up to 6 fori_loop programs
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env, capture_output=True, text=True, timeout=3000, cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            results["variants"][name] = {"flags": flags, "error": "timeout"}
+            print(name, results["variants"][name], flush=True)
+            continue
         line = next((l for l in p.stdout.splitlines() if l.startswith("{")), None)
         if p.returncode == 0 and line:
             results["variants"][name] = {"flags": flags, **json.loads(line)}
