@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from swapnet_tpu.ops.pooling import max_pool_2x2
+
 # torchvision vgg16 conv output channels per block
 _CFG = [(2, 64), (2, 128), (3, 256), (3, 512), (3, 512)]
 
@@ -36,7 +38,10 @@ class VGG16Features(nn.Module):
         h = x.astype(self.dtype)
         for b, (n_convs, ch) in enumerate(_CFG):
             if b > 0:
-                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+                # layout-preserving pool (not nn.max_pool): reduce-window's
+                # spatial-minor layout preference forced ~1.6 ms/step of
+                # copies around these convs — see ops/pooling.py
+                h = max_pool_2x2(h)
             for c in range(n_convs):
                 h = nn.Conv(
                     ch, (3, 3), padding=1, dtype=self.dtype,

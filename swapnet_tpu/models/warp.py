@@ -42,6 +42,13 @@ class WarpModule(nn.Module):
     @nn.compact
     def __call__(self, body: jax.Array, cloth: jax.Array, train: bool = True) -> jax.Array:
         """body: (B,H,W,body_ch), cloth: (B,H,W,cloth_ch) -> (B,H,W,cloth_ch) logits->tanh."""
+        if min(body.shape[1], body.shape[2]) < 64:
+            # the 6-level cloth encoder halves spatial dims six times; below
+            # 64 the deepest feature map is empty (the reference's torch convs
+            # error the same way, just less legibly)
+            raise ValueError(
+                f"WarpModule needs height/width >= 64, got {body.shape[1:3]}"
+            )
         kw = dict(init_type=self.init_type, init_gain=self.init_gain, dtype=self.dtype)
         down = lambda ch, **over: UNetDown(ch, **{**kw, **over})
         body = body.astype(self.dtype)

@@ -9,7 +9,7 @@ from swapnet_tpu.training import WarpSystem
 from swapnet_tpu.utils.checks import check_no_nonfinite, check_train_step_purity
 
 
-def _batch(size=32):
+def _batch(size=64):  # WarpModule minimum: 6 downsamples need >=64
     r = np.random.RandomState(0)
     onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (2, size, size))]
     return {

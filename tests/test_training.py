@@ -12,9 +12,10 @@ from swapnet_tpu.training import TextureSystem, WarpSystem
 from swapnet_tpu.training.optimizers import OptimizerConfig
 
 SIZE = 32  # small images for test speed (architectures are fully conv)
+WARP_SIZE = 64  # WarpModule minimum: its 6-level cloth encoder halves 6x
 
 
-def warp_batch(b=2, size=SIZE, seed=0):
+def warp_batch(b=2, size=WARP_SIZE, seed=0):
     r = np.random.RandomState(seed)
     onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (b, size, size))]
     return {
