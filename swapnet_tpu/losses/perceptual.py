@@ -25,9 +25,16 @@ feature tensors and re-reading them for the MSE.  At the 128^2 batch-8
 texture step the first VGG tap alone is 2x16 MB bf16; the materializing
 form cost two extra write+read passes over every tap (and their VJPs),
 showing up as ~1.25 ms/step of multiply+reduce fusions in the trace.
-The cosine form is algebraically identical:
+The cosine form is algebraically identical to the materialized
+normalized-MSE with eps^2 folded inside the norm:
   sum_c (o_hat - t_hat)^2 = |o|^2/(|o|^2+e) + |t|^2/(|t|^2+e)
                             - 2<o,t>/sqrt((|o|^2+e)(|t|^2+e)).
+HONESTY NOTE vs the reference: the reference places eps OUTSIDE the
+sqrt — x / (sqrt(sum x^2) + 1e-8), modules/losses/perceptual.py:75 —
+so the two agree only where feature norms are >> 1e-8 (always true for
+real VGG activations, but not bit-identical for exactly-zero feature
+columns).  ``compat_eps_outside=True`` reproduces the reference form
+exactly for parity tests.
 """
 
 from __future__ import annotations
@@ -43,6 +50,15 @@ class PerceptualLossConfig:
     normalize: bool = True
     use_style: bool = False
     compat_image_gram: bool = False
+    # Exact reference eps placement for parity validation.  The reference
+    # normalizes features as x / (sqrt(sum_c x^2) + 1e-8) — eps OUTSIDE the
+    # sqrt (reference modules/losses/perceptual.py:75); the fast cosine form
+    # below folds eps^2 INSIDE (rsqrt(sum + 1e-16)).  The two differ only
+    # for features with |x| within a few orders of magnitude of 1e-8 —
+    # negligible for real VGG activations, but not bit-identical.  True
+    # materializes the normalized tensors exactly as the reference does
+    # (slower: two extra write+read passes per tap).
+    compat_eps_outside: bool = False
 
 
 def _gram(x: jax.Array) -> jax.Array:
@@ -99,7 +115,16 @@ def perceptual_loss(
     content = jnp.float32(0.0)
     style = jnp.float32(0.0)
     for o, t in zip(out_f, tgt_f):
-        if cfg.normalize:
+        if cfg.normalize and cfg.compat_eps_outside:
+            o32, t32 = o.astype(jnp.float32), t.astype(jnp.float32)
+            o_hat = o32 / (
+                jnp.sqrt(jnp.sum(jnp.square(o32), axis=-1, keepdims=True)) + 1e-8
+            )
+            t_hat = t32 / (
+                jnp.sqrt(jnp.sum(jnp.square(t32), axis=-1, keepdims=True)) + 1e-8
+            )
+            content += jnp.mean(jnp.square(o_hat - t_hat))
+        elif cfg.normalize:
             content += _normalized_mse(o, t)
         else:
             content += jnp.mean(

@@ -68,6 +68,7 @@ class TextureSystem(BaseGANSystem):
         wgan_clamp: bool = True,
         is_train: bool = True,
         compat_image_gram: bool = False,
+        compat_eps_outside: bool = False,
         remat_perceptual: bool = False,
     ):
         if netG == "swapnet":
@@ -115,19 +116,16 @@ class TextureSystem(BaseGANSystem):
             # closure constants blow up remote-compile request sizes
             self._vgg_variables = vgg_variables
         self.perc_cfg = PerceptualLossConfig(
-            use_style=lambda_style != 0, compat_image_gram=compat_image_gram
+            use_style=lambda_style != 0,
+            compat_image_gram=compat_image_gram,
+            compat_eps_outside=compat_eps_outside,
         )
-        # Rematerialize the perceptual block in the backward: the saved
-        # residuals of the differentiated VGG pass + Gram matrices are the
-        # largest activation block in the whole train step (~545 MB of the
-        # ~830 MB total at 128^2 batch 8, benchmarks/compulsory_bytes.json —
-        # the (B*C)x(B*C) f32 grams alone are ~310 MB).  Recomputing them
-        # costs ~0.4 ms of MXU time vs ~1.3 ms of HBM round-trips saved.
-        # Numerics are bit-identical (same ops, re-run), unlike quantization
-        # levers, so this is safe for reference-parity training.  Default
-        # False until the on-chip A/B (benchmarks/remat_perceptual_ab.py)
-        # proves it: the round-2 generator-remat result (LOST 10%, ROADMAP)
-        # shows recompute's own HBM writes can eat the residual savings.
+        # Rematerialize the perceptual block in the backward.  MEASURED
+        # NEGATIVE (round 3, benchmarks/remat_perceptual_ab.json): remat
+        # LOSES ~11% at 128^2 batch 8 (~11.2 vs ~10.1 ms/step) — the
+        # recompute's own HBM writes exceed the residual savings, same
+        # outcome as the round-2 generator remat (ROADMAP.md).  Kept only
+        # as a memory lever for configs that don't fit HBM otherwise.
         self.remat_perceptual = remat_perceptual
 
     def frozen_variables(self):
