@@ -21,7 +21,11 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from swapnet_tpu.data.codec import decompress_cloth_labels_resized
+from swapnet_tpu.data.codec import (
+    decompress_cloth_labels,
+    decompress_cloth_labels_resized,
+)
+from swapnet_tpu.data.host_aug import augment_labels_at_original
 from swapnet_tpu.data.files import (
     IMG_EXTENSIONS,
     find_valid_files,
@@ -181,20 +185,31 @@ class WarpDataset:
             return list(pool.map(fetch, indices))
         return [fetch(i) for i in indices]
 
+    def _labels_original(self, path: str) -> np.ndarray:
+        """(H0, W0) uint8 label map at the file's original resolution
+        (--aug_at_original compat path)."""
+        if self.cache is not None:
+            return self.cache.get(
+                path + "#orig", lambda: decompress_cloth_labels(path)
+            )
+        return decompress_cloth_labels(path)
+
     def __getitem__(
         self, index: int, _rgb_memo: Optional[dict] = None
     ) -> Dict[str, np.ndarray]:
         size = self.opt.load_size
         cloth_file = self.cloth_files[index]
         target_labels = self._labels(cloth_file, size)
+        aug_orig = self.is_train and getattr(self.opt, "aug_at_original", False)
 
+        input_file = cloth_file
         if self.is_train:
             if self.opt.dataset_mode == "image":
                 input_labels = target_labels
             elif self.opt.dataset_mode == "video":
                 # temporal augmentation: a random other frame as the input
-                other = self.cloth_files[random.randint(0, len(self) - 1)]
-                input_labels = self._labels(other, size)
+                input_file = self.cloth_files[random.randint(0, len(self) - 1)]
+                input_labels = None if aug_orig else self._labels(input_file, size)
             else:
                 raise ValueError(self.opt.dataset_mode)
         else:
@@ -202,13 +217,32 @@ class WarpDataset:
         body_file = self._body_file(index)
 
         body = self._rgb(body_file, size, memo=_rgb_memo)
-        return {
+        item = {
             "body_paths": body_file,
             "bodys_u8": body,
             "cloth_paths": cloth_file,
-            "input_labels": input_labels,
             "target_labels": target_labels,
         }
+        if aug_orig:
+            # reference-exact order of operations: augment the input's
+            # one-hot channels at ORIGINAL resolution, then nearest-resize
+            # (host_aug.py; reference warp_dataset.py:110-166).  Emits a
+            # multi-hot (load, load, C) instead of a label map — channels
+            # transform independently, so it is no longer single-label.
+            rs = np.random.default_rng(random.getrandbits(63))
+            transforms = self.opt.input_transforms
+            if isinstance(transforms, str):
+                transforms = (transforms,)
+            item["input_onehot_u8"] = augment_labels_at_original(
+                rs,
+                self._labels_original(input_file),
+                self.opt.cloth_channels,
+                size,
+                transforms,
+            )
+        else:
+            item["input_labels"] = input_labels
+        return item
 
 
 class TextureDataset:

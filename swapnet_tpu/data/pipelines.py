@@ -38,6 +38,10 @@ class WarpPipelineConfig:
     )
     input_transforms: Sequence[str] = ("hflip", "vflip", "affine", "perspective")
     per_channel_transform: bool = True
+    # --aug_at_original: the host already augmented at original resolution
+    # (data/host_aug.py) and the batch carries a multi-hot input_onehot_u8;
+    # skip the device-side warp
+    aug_at_original: bool = False
     train: bool = True
     # explicit ((xmin,ymin),(xmax,ymax)); only active when crop_size >=
     # load_size (reference base_dataset.py:51-58)
@@ -48,14 +52,17 @@ def prepare_warp_batch(cfg: WarpPipelineConfig, rng: Optional[jax.Array], batch)
     """{bodys_u8, input_labels, target_labels} -> warp model batch."""
     bodys = batch["bodys_u8"].astype(jnp.float32) / 255.0
     bodys = normalize(bodys, *cfg.body_norm_stats)
-    inputs = labels_to_onehot(batch["input_labels"], cfg.cloth_channels)
     targets = labels_to_onehot(batch["target_labels"], cfg.cloth_channels)
 
-    if cfg.train and rng is not None:
-        if cfg.per_channel_transform:
-            inputs = per_channel_random_warp(rng, inputs, cfg.input_transforms)
-        else:
-            raise NotImplementedError("per_channel_transform must be true")
+    if cfg.train and cfg.aug_at_original:
+        inputs = batch["input_onehot_u8"].astype(jnp.float32)
+    else:
+        inputs = labels_to_onehot(batch["input_labels"], cfg.cloth_channels)
+        if cfg.train and rng is not None:
+            if cfg.per_channel_transform:
+                inputs = per_channel_random_warp(rng, inputs, cfg.input_transforms)
+            else:
+                raise NotImplementedError("per_channel_transform must be true")
 
     bounds = resolve_crop_bounds(cfg.load_size, cfg.crop_size, cfg.crop_bounds)
     if bounds is not None:

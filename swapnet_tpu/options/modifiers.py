@@ -137,6 +137,14 @@ def warp_dataset_modifier(parser: ArgumentParser, is_train: bool) -> ArgumentPar
         help="Perform the transform for each label instead of on the image as "
              "a whole. --cloth_representation must be 'labels'.",
     )
+    parser.add_argument(
+        "--aug_at_original", action="store_true", default=False,
+        help="Compat mode: augment cloth channels host-side at the file's "
+             "ORIGINAL resolution before the resize, matching the reference "
+             "order of operations exactly (warp_dataset.py:110-166).  "
+             "Slower (host-bound, like the reference); default augments "
+             "on device at load_size (same semantics, not bit-identical).",
+    )
     return parser
 
 

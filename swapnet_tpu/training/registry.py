@@ -164,6 +164,7 @@ def create_preprocessor(opt, dataset):
                 else opt.input_transforms
             ),
             per_channel_transform=getattr(opt, "per_channel_transform", True),
+            aug_at_original=getattr(opt, "aug_at_original", False),
             train=is_train,
         )
         return make_warp_preprocessor(cfg)
