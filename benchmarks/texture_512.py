@@ -31,14 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from __graft_entry__ import _texture_batch
+from benchmarks.memory import step_memory_analysis
 from benchmarks.timing import chain_seconds_per_step
 from swapnet_tpu.training import TextureSystem
-
-
-def hbm_peak_mb():
-    stats = jax.local_devices()[0].memory_stats() or {}
-    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
-    return round(peak / 1e6, 1) if peak else None
 
 
 def micro(batch, k):
@@ -56,16 +51,28 @@ def measure(size, batch, accum, k):
         fn = lambda s: system.train_step_accum(s, mb)[0]
     else:
         fn = lambda s: system.train_step(s, batch_d)[0]
+    # compile-time memory analysis FIRST (fills the persistent compilation
+    # cache, so the chain timing below re-uses the executable); axon's
+    # runtime memory_stats() lacks peak keys, this is the scheduler's own
+    # allocation plan (benchmarks/memory.py)
+    mem = step_memory_analysis(fn, state)
     # chained-dispatch timing: ONE compile (a 512^2 fused step takes >10 min
     # to compile through the remote compiler; the fori_loop slope method
     # would need three such compiles).  Conservative: includes per-dispatch
-    # tunnel overhead the fori_loop method cancels.
-    sec = chain_seconds_per_step(fn, state, k=k)
+    # tunnel overhead the fori_loop method cancels.  Plausibility floor
+    # (the chain method cannot catch the axon early-return bug on its own,
+    # benchmarks/timing.py): compulsory-byte floor of the 128^2 step
+    # (3.53 ms, compulsory_bytes.json) scaled by activation area and batch,
+    # with a 4x safety margin.
+    floor = 3.53e-3 * (size / 128.0) ** 2 * (batch / 8.0) / 4.0
+    sec = chain_seconds_per_step(fn, state, k=k, min_plausible_s=floor)
     return {
         "images_per_sec": round(batch / sec, 2),
         "seconds_per_step": round(sec, 5),
-        "peak_hbm_mb": hbm_peak_mb(),
-        "timing": "chained-dispatch slope (benchmarks/timing.py)",
+        "memory_analysis": mem,
+        "peak_hbm_mb": mem.get("peak_hbm_mb"),
+        "timing": "chained-dispatch slope (benchmarks/timing.py), "
+                  f"min_plausible_s={floor:.4f}",
     }
 
 
