@@ -79,7 +79,7 @@ def test_frechet_distance_properties():
 
 
 def test_evaluate_system_segmentation_kind():
-    size = 32
+    size = 64  # WarpModule minimum (6-level cloth encoder)
     r = np.random.RandomState(0)
     batch_np = {
         "bodys_u8": r.randint(0, 255, (2, size, size, 3), dtype=np.uint8),

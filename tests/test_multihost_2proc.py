@@ -57,7 +57,7 @@ WORKER = textwrap.dedent(
     from swapnet_tpu.training import WarpSystem
     from swapnet_tpu.training.optimizers import OptimizerConfig
 
-    B, SIZE = 8, 32
+    B, SIZE = 8, 64  # WarpModule minimum (6-level cloth encoder)
     r = np.random.RandomState(0)
     onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (B, SIZE, SIZE))]
     global_batch = {
@@ -137,7 +137,7 @@ def test_two_process_dp_step_matches_single_process_oracle(tmp_path):
     from swapnet_tpu.training import WarpSystem
     from swapnet_tpu.training.optimizers import OptimizerConfig
 
-    B, SIZE = 8, 32
+    B, SIZE = 8, 64  # WarpModule minimum (6-level cloth encoder)
     r = np.random.RandomState(0)
     onehot = np.eye(19, dtype=np.float32)[r.randint(0, 19, (B, SIZE, SIZE))]
     batch = {
