@@ -9,9 +9,12 @@ variant per round, variants alternating in the SAME session so thermal/
 tunnel drift hits all arms equally; spread recorded per variant.
 
 Texture 128^2 batch 8 (the headline config).  Variants:
-  base              TextureSystem(bf16)
+  base              TextureSystem(bf16) — round-4 default: reference-
+                    parity image grams (compat_image_gram=True)
   int8_D            quantize_D=True   (ops/quant.py STE path)
   remat_perceptual  remat_perceptual=True (jax.checkpoint over VGG+grams)
+  gatys_feature_gram  compat_image_gram=False — the rounds-1-3 headline
+                    config, kept for cross-round comparability
 
 Writes benchmarks/ab_readjudicate.json.  Needs exclusive TPU access.
 Usage: python benchmarks/ab_readjudicate.py
@@ -51,6 +54,10 @@ def main():
         make("base"),
         make("int8_D", quantize_D=True),
         make("remat_perceptual", remat_perceptual=True),
+        # rounds 1-3 benched this config (Gatys feature grams was the old
+        # default); round 4 flipped the default to reference-parity image
+        # grams — this arm keeps the old headline comparable
+        make("gatys_feature_gram", compat_image_gram=False),
     ):
         variants[name] = (fn, state)
         print("built", name, flush=True)

@@ -96,3 +96,37 @@ def multi_layer_feature_loss(
     for w, g, a in zip(weights, gen_feats, act_feats):
         total += w * loss_fn(g.astype(jnp.float32), a.astype(jnp.float32))
     return total
+
+
+def softmax_cross_entropy_bounded_onehot(
+    logits: jax.Array, onehot: jax.Array
+) -> jax.Array:
+    """Mean softmax cross-entropy for BOUNDED logits and one-hot targets,
+    with every channel reduction expressed as a dot-with-ones.
+
+    Matches torch ``CrossEntropyLoss(logits, argmax(onehot))``
+    (reference models/warp_model.py:146-149) exactly in math:
+      CE = mean_pixels[ log sum_c exp(x_c) - sum_c t_c x_c ].
+
+    Two TPU-specific choices (trace-driven, round 4):
+      * channel sums run as ``dot_general`` contractions over the MINOR
+        dim, so the big (B,H,W,19) logits keep the channel-minor layout
+        the surrounding convs want; ``lax.reduce`` over the channel axis
+        would vote spatial-minor and pin the generator output into
+        layout copies (same mechanism as ops/pooling.max_pool_2x2).
+      * no max-subtraction in logsumexp: the warp generator's outputs are
+        post-tanh, so |x| <= 1 and exp is exact in f32 — callers must
+        pass bounded logits (asserted cheaply via the tanh contract, not
+        at runtime).  This also removes the argmax AND the max reduce.
+    """
+    x = logits.astype(jnp.float32)
+    ones = jnp.ones((x.shape[-1],), jnp.float32)
+    dims = (((x.ndim - 1,), (0,)), ((), ()))
+    sum_exp = jax.lax.dot_general(
+        jnp.exp(x), ones, dims, preferred_element_type=jnp.float32
+    )
+    picked = jax.lax.dot_general(
+        x * onehot.astype(jnp.float32), ones, dims,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.mean(jnp.log(sum_exp) - picked)

@@ -84,6 +84,15 @@ def _gram(x: jax.Array) -> jax.Array:
 _EPS2 = jnp.float32(1e-8**2)
 
 
+# Layout note (round 4, measured): expressing these channel sums as
+# dot_general-with-ones (hoping the contraction's minor-dim preference
+# would keep taps channel-minor) compiles to the IDENTICAL program —
+# XLA's algebraic simplifier canonicalizes dot-by-ones back to reduce.
+# A slice-halving tree avoided the reduce but LOST 44% (ROADMAP.md).
+# The actual tap-layout pinner was the feature-gram style loss, removed
+# from the default config (compat_image_gram=True is reference parity).
+
+
 def _normalized_mse(o: jax.Array, t: jax.Array) -> jax.Array:
     """mean over all elements of (o_hat - t_hat)^2 with o_hat = o * rsqrt(
     sum_c o^2 + eps^2), in cosine form: no normalized tensors materialized,

@@ -69,10 +69,19 @@ def base_gan_modifier(parser: ArgumentParser, is_train: bool) -> ArgumentParser:
                             help="reproduce the reference bug where the wgan "
                                  "weight clamp is a no-op (non-inplace .clamp, "
                                  "reference models/base_gan.py:210-213)")
+        parser.add_argument("--style_gram", choices=["image", "features"],
+                            default="image",
+                            help="style-loss gram source.  'image' (default) is "
+                                 "the reference's shipped behavior: grams of the "
+                                 "raw images, five identical copies in the tap "
+                                 "loop (reference modules/losses/perceptual.py:"
+                                 "61-63).  'features' is the standard Gatys form "
+                                 "(grams of the VGG tap features) — better style "
+                                 "gradients but NOT reference-parity, and the "
+                                 "big-tap grams cost ~MXU time + layout copies")
         parser.add_argument("--compat_image_gram", action="store_true",
-                            help="reproduce the reference bug where the style loss "
-                                 "uses image grams instead of feature grams "
-                                 "(reference modules/losses/perceptual.py:61-63)")
+                            help="deprecated alias of --style_gram image (now the "
+                                 "default)")
     return parser
 
 

@@ -107,7 +107,10 @@ def create_system(opt, vgg_variables=None):
             lambda_gp=getattr(opt, "lambda_gp", 10.0),
             wgan_clamp=not getattr(opt, "compat_no_wgan_clamp", False),
             is_train=is_train,
-            compat_image_gram=getattr(opt, "compat_image_gram", False),
+            compat_image_gram=(
+                getattr(opt, "style_gram", "image") == "image"
+                or getattr(opt, "compat_image_gram", False)
+            ),
             **common,
         )
     if name == "pix2pix":

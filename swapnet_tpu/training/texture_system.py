@@ -67,7 +67,13 @@ class TextureSystem(BaseGANSystem):
         lambda_gp: float = 10.0,
         wgan_clamp: bool = True,
         is_train: bool = True,
-        compat_image_gram: bool = False,
+        # True = reference-parity style loss (grams of the raw images,
+        # reference modules/losses/perceptual.py:61-63 — the behavior the
+        # reference actually ships).  False = standard Gatys feature grams;
+        # better style gradients but NOT parity, and the big-tap grams pin
+        # the VGG tap layouts spatial-minor, costing layout copies around
+        # every VGG conv (trace_report.json round 4).
+        compat_image_gram: bool = True,
         compat_eps_outside: bool = False,
         remat_perceptual: bool = False,
     ):

@@ -20,9 +20,8 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import optax
-
 from swapnet_tpu.losses import GANLossConfig
+from swapnet_tpu.losses.extra import softmax_cross_entropy_bounded_onehot
 from swapnet_tpu.models.discriminators import define_D
 from swapnet_tpu.models.warp import WarpModule
 from swapnet_tpu.training.base_gan_system import BaseGANSystem
@@ -95,9 +94,11 @@ class WarpSystem(BaseGANSystem):
 
     def extra_g_losses(self, fakes, batch, rng, frozen=None) -> Dict[str, jax.Array]:
         # torch CrossEntropyLoss over the channel dim vs argmax targets
-        # (warp_model.py:146-149); fakes are post-tanh, treated as logits.
-        labels = jnp.argmax(batch["target_cloths"], axis=-1)
-        ce = optax.softmax_cross_entropy_with_integer_labels(
-            fakes.astype(jnp.float32), labels
-        ).mean()
+        # (warp_model.py:146-149); fakes are post-tanh, treated as logits —
+        # bounded, so the dot-form CE (no max-subtraction, no argmax, no
+        # lane-dim reduces) is exact.  See losses/extra.py for the TPU
+        # layout rationale.
+        ce = softmax_cross_entropy_bounded_onehot(
+            fakes, batch["target_cloths"]
+        )
         return {"loss_G_ce": ce * self.lambda_ce}
