@@ -97,8 +97,10 @@ def _tiny_batch(size=64):
     }
 
 
-@pytest.mark.smoke
 def test_checkpoint_roundtrip(tmp_path):
+    # not smoke-marked: the 64px warp init pushed the smoke suite past its
+    # advertised <5 min (the marker text promises options/codec/roi_align/
+    # e2e-train, not checkpoint IO)
     system = WarpSystem(warp_mode="gan")
     batch = _tiny_batch()
     state = system.init_state(jax.random.key(0), batch)
