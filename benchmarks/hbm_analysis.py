@@ -33,14 +33,18 @@ def texture_cfg(size, batch):
     system = TextureSystem(img_size=size, dtype=jnp.bfloat16)
     b = _texture_batch(batch, size)
     state = system.init_state(jax.random.key(0), b)
-    return step_memory_analysis(lambda s: system.train_step(s, b)[0], state)
+    return step_memory_analysis(
+        lambda s: system.train_step(s, b)[0], state, donate_argnums=0
+    )
 
 
 def warp_cfg(size, batch):
     system = WarpSystem(dtype=jnp.bfloat16)
     b = _warp_batch(batch, size)
     state = system.init_state(jax.random.key(0), b)
-    return step_memory_analysis(lambda s: system.train_step(s, b)[0], state)
+    return step_memory_analysis(
+        lambda s: system.train_step(s, b)[0], state, donate_argnums=0
+    )
 
 
 def main():
