@@ -136,3 +136,35 @@ def test_perceptual_loss_structure():
         apply, x, y, PerceptualLossConfig(use_style=True, compat_image_gram=True)
     )
     assert float(s_compat) > 0
+
+
+def test_bounded_onehot_ce_matches_optax():
+    """The dot-form CE (losses/extra.py) must equal torch/optax CE exactly
+    for bounded (post-tanh) logits, values AND gradients — it is the warp
+    stage's training loss (reference warp_model.py:146-149)."""
+    import optax
+
+    from swapnet_tpu.losses.extra import softmax_cross_entropy_bounded_onehot
+
+    r = np.random.RandomState(0)
+    logits = jnp.asarray(np.tanh(r.randn(2, 16, 16, 19)).astype(np.float32))
+    onehot = jnp.asarray(
+        np.eye(19, dtype=np.float32)[r.randint(0, 19, (2, 16, 16))]
+    )
+    want = optax.softmax_cross_entropy_with_integer_labels(
+        logits, jnp.argmax(onehot, -1)
+    ).mean()
+    got = softmax_cross_entropy_bounded_onehot(logits, onehot)
+    assert float(got) == pytest.approx(float(want), rel=1e-6)
+
+    g_want = jax.grad(
+        lambda l: optax.softmax_cross_entropy_with_integer_labels(
+            l, jnp.argmax(onehot, -1)
+        ).mean()
+    )(logits)
+    g_got = jax.grad(
+        lambda l: softmax_cross_entropy_bounded_onehot(l, onehot)
+    )(logits)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_want), atol=1e-8
+    )

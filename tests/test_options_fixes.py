@@ -105,3 +105,29 @@ def test_crop_bounds_accepted_and_validated():
             args=["--model", "warp", "--dataroot", "/tmp/x",
                   "--crop_bounds", "((8, 8), (200, 200))"],
         )
+
+
+def test_style_gram_flag_maps_to_image_default(tmp_path):
+    """--style_gram image (the default) is the reference's shipped style
+    loss; 'features' opts into the Gatys form (round-4 default flip)."""
+    from swapnet_tpu.options import TrainOptions
+    from swapnet_tpu.training.registry import create_system
+
+    common = [
+        "--model", "texture", "--name", "sg", "--dataroot", str(tmp_path),
+        "--checkpoints_dir", str(tmp_path), "--load_size", "32",
+        "--crop_size", "32",
+    ]
+    opt = TrainOptions().parse(
+        print_options=False, store_options=False, args=common
+    )
+    assert opt.style_gram == "image"
+    system = create_system(opt)
+    assert system.perc_cfg.compat_image_gram is True
+
+    opt2 = TrainOptions().parse(
+        print_options=False, store_options=False,
+        args=common + ["--style_gram", "features"],
+    )
+    system2 = create_system(opt2)
+    assert system2.perc_cfg.compat_image_gram is False
