@@ -410,3 +410,29 @@ def test_shard_params_training_e2e(dataroot, tmp_path_factory):
     k = next(x for x in jax.tree.leaves(state.g_params) if getattr(x, "ndim", 0) == 4)
     assert len(k.sharding.device_set) >= 2
     assert (ckpts / "warp_fsdp" / "latest_net_generator.msgpack").exists()
+
+
+def test_aug_at_original_training(dataroot, tmp_path_factory):
+    """--aug_at_original trains end-to-end: the host augments cloth
+    channels at the file's original resolution before the resize
+    (reference warp_dataset.py:110-166 order of operations) and the
+    pipeline consumes the multi-hot input_onehot_u8 without the
+    device-side warp (data/host_aug.py)."""
+    ckpts = tmp_path_factory.mktemp("aug_orig_ckpts")
+    opt = TrainOptions().parse(
+        print_options=False,
+        args=[
+            "--model", "warp", "--name", "warp_aug_orig", "--warp_mode", "ce",
+            "--aug_at_original",
+            "--dataroot", str(dataroot),
+            "--checkpoints_dir", str(ckpts),
+            "--load_size", str(SIZE), "--crop_size", str(SIZE),
+            "--batch_size", "2", "--n_epochs", "1", "--checkpoint_freq", "1",
+            "--latest_checkpoint_freq", "0", "--print_freq", "2",
+            "--display_freq", "0", "--num_workers", "2",
+            "--compute_dtype", "float32",
+        ],
+    )
+    state = train(opt)
+    assert int(state.step) == N_ITEMS // 2
+    assert (ckpts / "warp_aug_orig" / "latest_net_generator.msgpack").exists()
