@@ -21,16 +21,63 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from swapnet_tpu.ops.conv3x3 import (
+    conv3x3_bias_act, pallas_vmem_ok, shape_ok)
 from swapnet_tpu.ops.pooling import max_pool_2x2
 
 # torchvision vgg16 conv output channels per block
 _CFG = [(2, 64), (2, 128), (3, 256), (3, 512), (3, 512)]
 
 
+class _Conv3x3Relu(nn.Module):
+    """3x3/pad-1 conv + bias + ReLU with the same param tree, shapes and
+    init as ``nn.Conv`` (kernel HWIO f32 lecun-normal, bias zeros), but
+    dispatching to the Pallas im2col kernel (ops/conv3x3.py) where it wins.
+
+    ``impl``:
+      * "auto"      — pallas on a single-device TPU backend when the shape
+                      fits the VMEM budget, XLA otherwise.  Multi-device
+                      meshes use XLA: a pallas custom-call inside pjit
+                      would block SPMD partitioning.
+      * "xla"       — always the XLA emitter (reference path).
+      * "pallas"    — force the kernel (shape must qualify).
+      * "interpret" — the kernel under the Pallas interpreter (CPU tests).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32)
+        h = x.astype(self.dtype)
+        impl = self.impl
+        if impl == "auto":
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+                and pallas_vmem_ok(h.shape, h.dtype)
+            )
+            impl = "pallas" if use_pallas else "xla"
+        elif impl == "interpret" and not shape_ok(h.shape):
+            impl = "xla"  # deep-block shapes below the 8-row chunk
+        interpret = impl == "interpret"
+        return conv3x3_bias_act(
+            h, kernel.astype(self.dtype), bias.astype(self.dtype),
+            True, "pallas" if interpret else impl, interpret)
+
+
 class VGG16Features(nn.Module):
     """Returns the 5 tap activations (one per conv block, pre-pool)."""
 
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"  # see _Conv3x3Relu.impl
 
     @nn.compact
     def __call__(self, x: jax.Array) -> List[jax.Array]:
@@ -43,11 +90,10 @@ class VGG16Features(nn.Module):
                 # copies around these convs — see ops/pooling.py
                 h = max_pool_2x2(h)
             for c in range(n_convs):
-                h = nn.Conv(
-                    ch, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=jnp.float32, name=f"conv{b + 1}_{c + 1}",
+                h = _Conv3x3Relu(
+                    ch, dtype=self.dtype, impl=self.conv_impl,
+                    name=f"conv{b + 1}_{c + 1}",
                 )(h)
-                h = jax.nn.relu(h)
             taps.append(h)
         return taps
 

@@ -76,6 +76,10 @@ class TextureSystem(BaseGANSystem):
         compat_image_gram: bool = True,
         compat_eps_outside: bool = False,
         remat_perceptual: bool = False,
+        # VGG conv dispatch (models/vgg.py:_Conv3x3Relu): "auto" uses the
+        # Pallas im2col kernel on a single-device TPU where the shape
+        # fits VMEM, XLA elsewhere; "xla" forces the emitter (A/B arm).
+        vgg_conv_impl: str = "auto",
     ):
         if netG == "swapnet":
             generator = TextureModule(
@@ -113,7 +117,7 @@ class TextureSystem(BaseGANSystem):
         self.lambda_style = lambda_style
         self.use_perceptual = is_train and (lambda_content != 0 or lambda_style != 0)
         if self.use_perceptual:
-            self.vgg = VGG16Features(dtype=dtype)
+            self.vgg = VGG16Features(dtype=dtype, conv_impl=vgg_conv_impl)
             if vgg_variables is None:
                 vgg_variables = self.vgg.init(
                     jax.random.key(7), jnp.zeros((1, img_size, img_size, 3))
