@@ -16,7 +16,19 @@ baseline is our own measurement of the torch reference; see BASELINE.md).
 
 import json
 import os
+import subprocess
 import sys
+
+
+def _git_sha():
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
 
 
 def main():
@@ -37,6 +49,28 @@ def main():
     system = TextureSystem(img_size=size, dtype=jnp.bfloat16)
     batch_d = _texture_batch(batch, size)
     state = system.init_state(jax.random.key(0), batch_d)
+
+    # Provenance: which VGG conv arm actually executes, plus the active
+    # compat flags and git sha — so a regressed driver record is
+    # self-diagnosing (round-4 lesson: an unmeasured default cost -23%
+    # and the record couldn't say which arm ran).
+    conv_impl = system.vgg.conv_impl
+    if conv_impl == "auto":
+        from swapnet_tpu.ops.conv3x3 import pallas_vmem_ok
+
+        fires = (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and pallas_vmem_ok((batch, size, size, 64), jnp.bfloat16, 64)
+        )
+        conv_impl = f"auto->{'pallas' if fires else 'xla'}"
+    provenance = {
+        "git_sha": _git_sha(),
+        "backend": jax.default_backend(),
+        "vgg_conv_impl": conv_impl,
+        "compat_image_gram": system.perc_cfg.compat_image_gram,
+        "compat_eps_outside": system.perc_cfg.compat_eps_outside,
+    }
 
     # canonical harness (benchmarks/timing.py:measure): 4 independent
     # fori_loop slope estimates, best wins, spread recorded in the output.
@@ -82,6 +116,7 @@ def main():
                 "method": m["method"],
                 "n_runs": m["n_runs"],
                 "spread_pct": m["spread_pct"],
+                "provenance": provenance,
             }
         )
     )

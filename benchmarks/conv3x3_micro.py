@@ -23,13 +23,13 @@ from swapnet_tpu.ops.conv3x3 import conv3x3_bias_act  # noqa: E402
 
 def main():
     key = jax.random.PRNGKey(0)
-    kx, kw, kw3 = jax.random.split(key, 3)
+    kx, kw, kw3, kb = jax.random.split(key, 4)
     x64 = jax.random.normal(kx, (8, 128, 128, 64), jnp.bfloat16)
     w64 = jax.random.normal(kw, (3, 3, 64, 64), jnp.float32) * 0.05
     x3 = x64[..., :3]
     w3 = jax.random.normal(kw3, (3, 3, 3, 64), jnp.float32) * 0.05
 
-    b64 = jax.random.normal(kw, (64,), jnp.float32) * 0.01
+    b64 = jax.random.normal(kb, (64,), jnp.float32) * 0.01
 
     def fwd64(impl):
         def step(x):

@@ -59,10 +59,15 @@ class _Conv3x3Relu(nn.Module):
         h = x.astype(self.dtype)
         impl = self.impl
         if impl == "auto":
+            # gate on BOTH directions: the custom VJP reuses the kernel for
+            # the input-gradient conv over g:[B,H,W,features], so when
+            # features > C_in the backward block is the larger one
+            bwd_shape = h.shape[:-1] + (self.features,)
             use_pallas = (
                 jax.default_backend() == "tpu"
                 and jax.device_count() == 1
-                and pallas_vmem_ok(h.shape, h.dtype)
+                and pallas_vmem_ok(h.shape, h.dtype, self.features)
+                and pallas_vmem_ok(bwd_shape, h.dtype, h.shape[-1])
             )
             impl = "pallas" if use_pallas else "xla"
         elif impl == "interpret" and not shape_ok(h.shape):

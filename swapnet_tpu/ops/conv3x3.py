@@ -83,6 +83,7 @@ def _pallas_conv(x, w, b, relu, *, interpret=False):
     kh, kw, ci, N = w.shape
     assert (kh, kw, ci) == (3, 3, C), (w.shape, x.shape)
     assert H % _R == 0, f"H={H} must be a multiple of {_R}"
+    assert W % _R == 0, f"W={W} must be a multiple of {_R}"
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     # tap-major [9C, N]: rows tap*C..tap*C+C hold W[dy, dx] for tap = dy*3+dx
     w_mat = w.reshape(9 * C, N).astype(x.dtype)
@@ -118,22 +119,30 @@ def shape_ok(shape) -> bool:
     return H % _R == 0 and W % _R == 0
 
 
-def pallas_vmem_ok(shape, dtype) -> bool:
-    """True when the padded per-image block + im2col fit the VMEM budget.
-
-    The input block is double-buffered by the pipeline; leave headroom for
-    the im2col value and the output chunk.  ~12 MB budget of the 16 MB/core.
+def pallas_vmem_ok(shape, dtype, features=None) -> bool:
+    """True when the padded per-image block + im2col + resident weight block
+    + double-buffered output chunk fit the VMEM budget (~12 MB of the
+    16 MB/core; the input block and output chunk are double-buffered by
+    the pipeline).
     """
     _, H, W, C = shape
     if H % _R != 0 or W % _R != 0:
         return False
+    N = C if features is None else features
     itemsize = jnp.dtype(dtype).itemsize
     lanes = max(128, -(-C // 128) * 128)
+    n_lanes = max(128, -(-N // 128) * 128)
     sub_tile = 8 * 4 // itemsize  # (8,128) f32 / (16,128) bf16 sublane tile
     sublanes = -(-(W + 2) // sub_tile) * sub_tile
     x_block = (H + 2) * sublanes * lanes * itemsize
     col = _R * W * max(128, -(-9 * C // 128) * 128) * itemsize
-    return 2 * x_block + 2 * col < 12 * 1024 * 1024
+    w_block = 9 * C * n_lanes * itemsize  # resident [9C, N] weight matrix
+    o_chunk = _R * W * n_lanes * itemsize
+    # 14 MB of the 16 MB/core: the block-1 shape (8,128,128,64) bf16 — the
+    # shape the kernel was built for and measured on — totals 12.9 MB by
+    # this estimate and compiles + runs on the chip (vgg_pallas_ab.json).
+    total = 2 * x_block + 2 * col + w_block + 2 * o_chunk
+    return total < 14 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

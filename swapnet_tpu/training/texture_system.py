@@ -76,10 +76,15 @@ class TextureSystem(BaseGANSystem):
         compat_image_gram: bool = True,
         compat_eps_outside: bool = False,
         remat_perceptual: bool = False,
-        # VGG conv dispatch (models/vgg.py:_Conv3x3Relu): "auto" uses the
-        # Pallas im2col kernel on a single-device TPU where the shape
-        # fits VMEM, XLA elsewhere; "xla" forces the emitter (A/B arm).
-        vgg_conv_impl: str = "auto",
+        # VGG conv dispatch (models/vgg.py:_Conv3x3Relu).  Default "xla":
+        # the round-5 interleaved A/B (benchmarks/vgg_pallas_ab.json)
+        # measured the Pallas im2col kernel at -22.7% on the full train
+        # step (879 vs 1138 img/s) despite its better per-conv arithmetic
+        # — the custom-call boundaries break XLA's cross-conv fusion and
+        # force layout materialization at every kernel edge.  "auto"
+        # (pallas where the shape fits VMEM on a single-device TPU)
+        # remains available as the measured-loser arm.
+        vgg_conv_impl: str = "xla",
     ):
         if netG == "swapnet":
             generator = TextureModule(
