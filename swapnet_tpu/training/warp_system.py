@@ -49,6 +49,9 @@ class WarpSystem(BaseGANSystem):
         lambda_discriminator: float = 1.0,
         lambda_gp: float = 10.0,
         wgan_clamp: bool = True,
+        # space-to-depth head (layers._HeadS2D); default per the
+        # interleaved A/B warp_head_s2d_ab.json (+16% both modes)
+        head_impl: str = "s2d",
     ):
         generator = WarpModule(
             body_channels=body_channels,
@@ -56,6 +59,7 @@ class WarpSystem(BaseGANSystem):
             init_type=init_type,
             init_gain=init_gain,
             dtype=dtype,
+            head_impl=head_impl,
         )
         D = None
         if warp_mode == "gan":

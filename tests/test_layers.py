@@ -211,3 +211,29 @@ def test_warp_module_param_count():
         + conv(3 * 64, 19, 4, bias=True)
     )
     assert n == expected
+
+
+def test_head_s2d_matches_upsampled_conv():
+    """The space-to-depth head (layers._HeadS2D) is math-identical to the
+    literal Upsample2x+ZeroPad+Conv4+Tanh head on values AND gradients,
+    with an interchangeable param tree."""
+    from swapnet_tpu.models.layers import UpsamplePadConvTanh
+
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 6))
+    ref = UpsamplePadConvTanh(19, impl="xla")
+    s2d = UpsamplePadConvTanh(19, impl="s2d")
+    v = ref.init(jax.random.key(1), x)
+    assert v["params"]["Conv_0"]["kernel"].shape == (4, 4, 6, 19)
+
+    y_ref = ref.apply(v, x)
+    y_s2d = s2d.apply(v, x)
+    assert y_ref.shape == y_s2d.shape == (2, 32, 32, 19)
+    assert float(jnp.max(jnp.abs(y_ref - y_s2d))) < 1e-5
+
+    def loss(mod):
+        return lambda p, x_: jnp.sum(jnp.square(mod.apply(p, x_)))
+
+    g_ref = jax.grad(loss(ref))(v, x)
+    g_s2d = jax.grad(loss(s2d))(v, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s2d)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
