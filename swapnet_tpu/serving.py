@@ -126,14 +126,22 @@ class SwapService:
         texture_u8: np.ndarray,  # (B, H, W, 3) uint8 source photo
         rois: np.ndarray,  # (B, 12, 4)
     ) -> np.ndarray:
+        return np.asarray(
+            self.swap_async(body_u8, cloth_labels, texture_u8, rois))
+
+    def swap_async(self, body_u8, cloth_labels, texture_u8, rois):
+        """Dispatch one swap and return the on-device result WITHOUT
+        materializing it — ``np.asarray(...)`` the return value to fetch.
+        Lets a serving loop overlap the next request's host-side decode
+        with this request's device execution (benchmarks/swap_p50.py's
+        pipelined mode)."""
         # numpy args go straight to the jitted call: one transfer pass,
         # no per-array eager device_put round-trips
-        out = self._fn(
+        return self._fn(
             self.fused.warp_variables, self.fused.texture_variables,
             body_u8, cloth_labels, texture_u8,
             np.asarray(rois, dtype=np.float32),
         )
-        return np.asarray(out)
 
 
 # ---------------------------------------------------------------------------
