@@ -204,6 +204,11 @@ class ConvTranspose(nn.Module):
     init_type: str = "kaiming"
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
+    # "auto" (backend default) | "s2d": one 3x3/pad-1 conv emitting the
+    # four output-parity classes + depth-to-space (convt_s2d_kernel).
+    # Only worth it for lane-sparse outputs (features << 128): 2.25x the
+    # tap FLOPs but 4x the MXU lane occupancy at 1/4 the positions.
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -214,6 +219,24 @@ class ConvTranspose(nn.Module):
             (k, k, self.features, x.shape[-1]),
             jnp.float32,
         )
+        if self.impl == "s2d":
+            assert (k, self.stride, self.padding) == (4, 2, 1), (
+                "s2d ConvTranspose requires k=4, stride=2, padding=1")
+            k_eff = convt_s2d_kernel(kernel).astype(self.dtype)
+            z = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k_eff,
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWOI", "NHWC"),
+                preferred_element_type=self.dtype,
+            )  # (B, H, W, 4*features), class order pr*2+pc
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                z = z + jnp.tile(bias, 4).astype(self.dtype)
+            B, H, W, _ = z.shape
+            z = z.reshape(B, H, W, 2, 2, self.features)
+            return z.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, 2 * H, 2 * W, self.features)
         # Backend-dependent formulation, identical math (trace-time constant).
         # XLA:TPU convolves base-dilated inputs natively at full MXU rate and
         # the scatter form's interleave costs ~1.4 ms/step of copies at the
@@ -376,6 +399,31 @@ class ResidualBlock(nn.Module):
         y = Conv(ch, **conv_kwargs)(y)
         y = instance_norm(y)
         return x + y
+
+
+def convt_s2d_kernel(w: jax.Array) -> jax.Array:
+    """Rewrite a ConvTranspose(k=4, s=2, p=1) kernel (stored pre-flipped,
+    HWOI [4,4,O,I]) as a [3,3,4O,I] space-to-depth kernel.
+
+    Each output-parity class (pr, pc) of y[2i+pr, 2j+pc] is a 2x2-tap conv
+    over x: y[2i+pr] sums x[i-1+a+pr] * w[2a+pr] for a in {0,1} (and the
+    same along columns), so class (pr, pc) embeds into a 3x3/pad-1 kernel
+    at k[a+pr, b+pc] = w[2a+pr, 2b+pc].  Linear in w — gradients flow
+    through the rewrite; the param tree stays checkpoint-interchangeable
+    with the dilated-conv form.  Class order pr*2+pc matches the
+    depth-to-space reshape in ConvTranspose(impl="s2d").
+    """
+    kh, kw_, O, I = w.shape
+    assert (kh, kw_) == (4, 4), w.shape
+    classes = []
+    for pr in (0, 1):
+        for pc in (0, 1):
+            k = jnp.zeros((3, 3, O, I), w.dtype)
+            for a in (0, 1):
+                for b in (0, 1):
+                    k = k.at[a + pr, b + pc].set(w[2 * a + pr, 2 * b + pc])
+            classes.append(k)
+    return jnp.concatenate(classes, axis=2)  # [3,3,4O,I]
 
 
 def head_s2d_kernel(w: jax.Array) -> jax.Array:

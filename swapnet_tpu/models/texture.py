@@ -39,6 +39,8 @@ class TextureModule(nn.Module):
     init_type: str = "kaiming"
     init_gain: float = 0.02
     dtype: Any = jnp.float32
+    # outermost UNet up-conv impl (see layers.ConvTranspose / unet.py)
+    up0_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -79,5 +81,6 @@ class TextureModule(nn.Module):
             num_downs=num_downs,
             norm_type=self.norm_type,
             use_dropout=self.dropout is not None and self.dropout > 0,
+            up0_impl=self.up0_impl,
             **kw,
         )(tex_with_cloth, train)

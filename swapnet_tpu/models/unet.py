@@ -41,6 +41,10 @@ class UnetGenerator(nn.Module):
     init_type: str = "kaiming"
     init_gain: float = 0.02
     dtype: Any = jnp.float32
+    # impl for the outermost up-conv only (output_nc lanes, e.g. 3/128 on
+    # the texture RGB head): "s2d" emits the four output-parity classes
+    # from one 3x3 conv + depth-to-space (layers.convt_s2d_kernel)
+    up0_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -75,6 +79,7 @@ class UnetGenerator(nn.Module):
             u = ConvTranspose(
                 up_ch(i), 4, 2, 1,
                 use_bias=True if outermost else use_bias,
+                impl=self.up0_impl if outermost else "auto",
                 name=f"up_{i}", **kw,
             )(u)
             if not outermost:

@@ -85,6 +85,10 @@ class TextureSystem(BaseGANSystem):
         # (pallas where the shape fits VMEM on a single-device TPU)
         # remains available as the measured-loser arm.
         vgg_conv_impl: str = "xla",
+        # outermost UNet up-conv impl (models/layers.ConvTranspose):
+        # "s2d" emits the four output-parity classes from one 3x3 conv
+        # + depth-to-space — 4x the MXU lanes at output_nc=3
+        up0_impl: str = "auto",
     ):
         if netG == "swapnet":
             generator = TextureModule(
@@ -96,6 +100,7 @@ class TextureSystem(BaseGANSystem):
                 init_type=init_type,
                 init_gain=init_gain,
                 dtype=dtype,
+                up0_impl=up0_impl,
             )
         elif netG == "unet_128":
             generator = UnetGenerator(

@@ -237,3 +237,29 @@ def test_head_s2d_matches_upsampled_conv():
     g_s2d = jax.grad(loss(s2d))(v, x)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s2d)):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+def test_convt_s2d_matches_dilated_convt():
+    """ConvTranspose(impl='s2d') is math-identical to the dilated-conv
+    (and torch-parity scatter) form on values AND gradients, with an
+    interchangeable param tree."""
+    from swapnet_tpu.models.layers import ConvTranspose
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    ref = ConvTranspose(3, 4, 2, 1, use_bias=True)
+    s2d = ConvTranspose(3, 4, 2, 1, use_bias=True, impl="s2d")
+    v = ref.init(jax.random.key(1), x)
+    assert v["params"]["kernel"].shape == (4, 4, 3, 16)
+
+    y_ref = ref.apply(v, x)
+    y_s2d = s2d.apply(v, x)
+    assert y_ref.shape == y_s2d.shape == (2, 16, 16, 3)
+    assert float(jnp.max(jnp.abs(y_ref - y_s2d))) < 1e-5
+
+    def loss(mod):
+        return lambda p, x_: jnp.sum(jnp.square(mod.apply(p, x_)))
+
+    g_ref = jax.grad(loss(ref), argnums=(0, 1))(v, x)
+    g_s2d = jax.grad(loss(s2d), argnums=(0, 1))(v, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s2d)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
