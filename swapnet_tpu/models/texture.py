@@ -41,6 +41,12 @@ class TextureModule(nn.Module):
     dtype: Any = jnp.float32
     # outermost UNet up-conv impl (see layers.ConvTranspose / unet.py)
     up0_impl: str = "auto"
+    # True: skip materializing the (B,H,W,36) nearest-upsample of the
+    # ROI encoding — the UNet's outermost down conv runs in split form
+    # directly on (encoded@64^2, cloth@128^2) (unet._SplitL0Conv).
+    # Identical math and param tree.  Default per the interleaved A/B
+    # benchmarks/fuse_l0_ab.json: +6.2% (1119 -> 1189 img/s), loss parity.
+    fuse_l0: bool = True
 
     @nn.compact
     def __call__(
@@ -68,19 +74,21 @@ class TextureModule(nn.Module):
         )
 
         encoded = UNetDown(self.num_roi * C, **kw)(pooled, train)
-        upsampled = resize_nearest(encoded, H, W)
-
-        tex_with_cloth = jnp.concatenate(
-            [upsampled, cloth.astype(upsampled.dtype)], axis=-1
-        )
 
         # fast int log2 of img_size (reference uses math.frexp)
         num_downs = self.img_size.bit_length() - 1
-        return UnetGenerator(
+        gen = UnetGenerator(
             output_nc=self.texture_channels,
             num_downs=num_downs,
             norm_type=self.norm_type,
             use_dropout=self.dropout is not None and self.dropout > 0,
             up0_impl=self.up0_impl,
             **kw,
-        )(tex_with_cloth, train)
+        )
+        if self.fuse_l0 and encoded.shape[1] * 2 == H:
+            return gen(cloth.astype(encoded.dtype), train, lowres=encoded)
+        upsampled = resize_nearest(encoded, H, W)
+        tex_with_cloth = jnp.concatenate(
+            [upsampled, cloth.astype(upsampled.dtype)], axis=-1
+        )
+        return gen(tex_with_cloth, train)

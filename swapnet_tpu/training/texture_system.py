@@ -87,8 +87,14 @@ class TextureSystem(BaseGANSystem):
         vgg_conv_impl: str = "xla",
         # outermost UNet up-conv impl (models/layers.ConvTranspose):
         # "s2d" emits the four output-parity classes from one 3x3 conv
-        # + depth-to-space — 4x the MXU lanes at output_nc=3
+        # + depth-to-space — 4x the MXU lanes at output_nc=3.
+        # NOTE: measured -2.1% on the texture step (up0_s2d_ab.json);
+        # default stays "auto".
         up0_impl: str = "auto",
+        # split-form outermost down conv (models/unet._SplitL0Conv):
+        # skips materializing the 128^2 36-channel ROI-encoding upsample.
+        # Default per benchmarks/fuse_l0_ab.json (+6.2%, loss parity).
+        fuse_l0: bool = True,
     ):
         if netG == "swapnet":
             generator = TextureModule(
@@ -101,6 +107,7 @@ class TextureSystem(BaseGANSystem):
                 init_gain=init_gain,
                 dtype=dtype,
                 up0_impl=up0_impl,
+                fuse_l0=fuse_l0,
             )
         elif netG == "unet_128":
             generator = UnetGenerator(

@@ -263,3 +263,41 @@ def test_convt_s2d_matches_dilated_convt():
     g_s2d = jax.grad(loss(s2d), argnums=(0, 1))(v, x)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s2d)):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
+def test_texture_fuse_l0_parity():
+    """TextureModule(fuse_l0=True) — the split-form outermost down conv
+    (unet._SplitL0Conv) — matches the materialized upsample+concat path
+    on values AND gradients with an interchangeable param tree."""
+    from swapnet_tpu.models.texture import TextureModule
+
+    B, S = 2, 32
+    key = jax.random.key(0)
+    tex = jax.random.normal(key, (B, S, S, 3))
+    rois_xy = jax.random.uniform(jax.random.key(1), (B, 12, 2)) * (S // 2)
+    rois = jnp.concatenate(
+        [rois_xy, rois_xy + 4 + jax.random.uniform(
+            jax.random.key(2), (B, 12, 2)) * (S // 2)], axis=-1)
+    cloth = jax.nn.one_hot(
+        jax.random.randint(jax.random.key(3), (B, S, S), 0, 19), 19)
+
+    ref = TextureModule(img_size=S, roi_size=S, fuse_l0=False)
+    fus = TextureModule(img_size=S, roi_size=S, fuse_l0=True)
+    v = ref.init(jax.random.key(4), tex, rois, cloth, train=False)
+    # same param tree (down_0 kernel covers the 36+19 concat channels)
+    assert fus.init(
+        jax.random.key(4), tex, rois, cloth, train=False
+    )["params"].keys() == v["params"].keys()
+
+    y_ref = ref.apply(v, tex, rois, cloth, train=False)
+    y_fus = fus.apply(v, tex, rois, cloth, train=False)
+    assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 1e-5
+
+    def loss(mod):
+        return lambda p: jnp.sum(jnp.square(
+            mod.apply(p, tex, rois, cloth, train=False)))
+
+    g_ref = jax.grad(loss(ref))(v)
+    g_fus = jax.grad(loss(fus))(v)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        assert float(jnp.max(jnp.abs(a - b))) < 2e-4
