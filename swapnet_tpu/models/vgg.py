@@ -83,6 +83,7 @@ class VGG16Features(nn.Module):
 
     dtype: Any = jnp.float32
     conv_impl: str = "auto"  # see _Conv3x3Relu.impl
+    pool_bwd: str = "stack"  # max-pool backward form, see ops/pooling.py
 
     @nn.compact
     def __call__(self, x: jax.Array) -> List[jax.Array]:
@@ -93,7 +94,7 @@ class VGG16Features(nn.Module):
                 # layout-preserving pool (not nn.max_pool): reduce-window's
                 # spatial-minor layout preference forced ~1.6 ms/step of
                 # copies around these convs — see ops/pooling.py
-                h = max_pool_2x2(h)
+                h = max_pool_2x2(h, bwd_impl=self.pool_bwd)
             for c in range(n_convs):
                 h = _Conv3x3Relu(
                     ch, dtype=self.dtype, impl=self.conv_impl,

@@ -47,18 +47,14 @@ def _forward(x):
     return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
 
 
-@jax.custom_vjp
-def max_pool_2x2(x: jax.Array) -> jax.Array:
-    """NHWC 2x2 max pool, stride 2, no padding. H and W must be even."""
-    return _forward(x)
-
-
 def _fwd(x):
     m = _forward(x)
     return m, (x, m)
 
 
-def _bwd(res, g):
+def _window_grads(res, g):
+    """First-maximal routing masks applied to g: one (B,H/2,W/2,C) grad
+    per window position, row-major tie order (torch MaxPool2d parity)."""
     x, m = res
     a, b, c, d = _slices(x)
     ea = a == m
@@ -66,10 +62,17 @@ def _bwd(res, g):
     ec = (c == m) & ~ea & ~eb
     ed = ~(ea | eb | ec)
     zero = jnp.zeros((), g.dtype)
-    ga = jnp.where(ea, g, zero)
-    gb = jnp.where(eb, g, zero)
-    gc = jnp.where(ec, g, zero)
-    gd = jnp.where(ed, g, zero)
+    return (jnp.where(ea, g, zero), jnp.where(eb, g, zero),
+            jnp.where(ec, g, zero), jnp.where(ed, g, zero))
+
+
+@jax.custom_vjp
+def _max_pool_2x2_stack(x: jax.Array) -> jax.Array:
+    return _forward(x)
+
+
+def _bwd_stack(res, g):
+    ga, gb, gc, gd = _window_grads(res, g)
     B, H2, W2, C = ga.shape
     # interleave columns then rows; C stays minormost throughout
     r0 = jnp.stack([ga, gb], axis=3).reshape(B, H2, 2 * W2, C)  # even rows
@@ -78,4 +81,44 @@ def _bwd(res, g):
     return (out,)
 
 
-max_pool_2x2.defvjp(_fwd, _bwd)
+_max_pool_2x2_stack.defvjp(_fwd, _bwd_stack)
+
+
+@jax.custom_vjp
+def _max_pool_2x2_pad(x: jax.Array) -> jax.Array:
+    return _forward(x)
+
+
+def _bwd_pad(res, g):
+    """Scatter via four interior-padded adds instead of stack+reshape
+    interleaves: every intermediate stays 4-D with C minormost, so XLA
+    never materializes the 5-D [.,.,2,.,C] stack layouts that showed up
+    as ~0.17 ms of layout copies in step_accounting.json (the
+    %copy.509/510/511 cluster)."""
+    ga, gb, gc, gd = _window_grads(res, g)
+    zero = jnp.zeros((), g.dtype)
+
+    def put(t, row_off, col_off):
+        return jax.lax.pad(t, zero, (
+            (0, 0, 0),
+            (row_off, 1 - row_off, 1),
+            (col_off, 1 - col_off, 1),
+            (0, 0, 0),
+        ))
+
+    return (put(ga, 0, 0) + put(gb, 0, 1) + put(gc, 1, 0) + put(gd, 1, 1),)
+
+
+_max_pool_2x2_pad.defvjp(_fwd, _bwd_pad)
+
+
+def max_pool_2x2(x: jax.Array, bwd_impl: str = "stack") -> jax.Array:
+    """NHWC 2x2 max pool, stride 2, no padding. H and W must be even.
+
+    ``bwd_impl`` selects the backward formulation (identical values):
+    "stack" (interleave via stack+reshape) or "pad" (interior-padded
+    adds; see _bwd_pad).
+    """
+    if bwd_impl == "pad":
+        return _max_pool_2x2_pad(x)
+    return _max_pool_2x2_stack(x)

@@ -95,6 +95,8 @@ class TextureSystem(BaseGANSystem):
         # skips materializing the 128^2 36-channel ROI-encoding upsample.
         # Default per benchmarks/fuse_l0_ab.json (+6.2%, loss parity).
         fuse_l0: bool = True,
+        # VGG max-pool backward form (ops/pooling.py): "stack" | "pad"
+        pool_bwd: str = "stack",
     ):
         if netG == "swapnet":
             generator = TextureModule(
@@ -134,7 +136,8 @@ class TextureSystem(BaseGANSystem):
         self.lambda_style = lambda_style
         self.use_perceptual = is_train and (lambda_content != 0 or lambda_style != 0)
         if self.use_perceptual:
-            self.vgg = VGG16Features(dtype=dtype, conv_impl=vgg_conv_impl)
+            self.vgg = VGG16Features(
+                dtype=dtype, conv_impl=vgg_conv_impl, pool_bwd=pool_bwd)
             if vgg_variables is None:
                 vgg_variables = self.vgg.init(
                     jax.random.key(7), jnp.zeros((1, img_size, img_size, 3))

@@ -71,3 +71,27 @@ def test_bf16_and_jit():
     assert y.dtype == jnp.bfloat16 and y.shape == (1, 2, 2, 2)
     want = nn.max_pool(x, (2, 2), strides=(2, 2))
     np.testing.assert_array_equal(np.asarray(y), np.asarray(want))
+
+
+def test_pad_bwd_matches_stack_bwd():
+    """The interior-padded-add backward (bwd_impl='pad') routes gradients
+    identically to the stack+reshape form, ties included."""
+    import jax
+    import jax.numpy as jnp
+
+    from swapnet_tpu.ops.pooling import max_pool_2x2
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 5))
+    # force ties (post-ReLU zeros) to exercise first-maximal routing
+    x = jnp.maximum(x, 0.0)
+
+    def loss(impl):
+        return lambda t: jnp.sum(
+            jnp.cos(max_pool_2x2(t, bwd_impl=impl) * 3.0))
+
+    y_s = max_pool_2x2(x, bwd_impl="stack")
+    y_p = max_pool_2x2(x, bwd_impl="pad")
+    assert float(jnp.max(jnp.abs(y_s - y_p))) == 0.0
+    g_s = jax.grad(loss("stack"))(x)
+    g_p = jax.grad(loss("pad"))(x)
+    assert float(jnp.max(jnp.abs(g_s - g_p))) == 0.0
