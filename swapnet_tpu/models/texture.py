@@ -85,8 +85,15 @@ class TextureModule(nn.Module):
             up0_impl=self.up0_impl,
             **kw,
         )
-        if self.fuse_l0 and encoded.shape[1] * 2 == H:
-            return gen(cloth.astype(encoded.dtype), train, lowres=encoded)
+        # any even upsample factor f splits as up2(up_{f/2}): the 2x half
+        # merges into the split L0 conv, so only the (H/2)^2 intermediate
+        # is ever materialized (at 512^2 that is 1/4 of the bytes and the
+        # L0 conv runs at 256^2 instead of 512^2)
+        eh = encoded.shape[1]
+        if self.fuse_l0 and H % eh == 0 and (H // eh) % 2 == 0:
+            lowres = (encoded if eh * 2 == H
+                      else resize_nearest(encoded, H // 2, W // 2))
+            return gen(cloth.astype(encoded.dtype), train, lowres=lowres)
         upsampled = resize_nearest(encoded, H, W)
         tex_with_cloth = jnp.concatenate(
             [upsampled, cloth.astype(upsampled.dtype)], axis=-1

@@ -301,3 +301,26 @@ def test_texture_fuse_l0_parity():
     g_fus = jax.grad(loss(fus))(v)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
         assert float(jnp.max(jnp.abs(a - b))) < 2e-4
+
+
+def test_texture_fuse_l0_parity_factor4():
+    """fuse_l0 with a 4x upsample factor (img_size = 4*roi-encoding size):
+    up4 splits as up2(up2), the outer 2x merging into the split conv."""
+    from swapnet_tpu.models.texture import TextureModule
+
+    B, S = 1, 64
+    tex = jax.random.normal(jax.random.key(0), (B, S, S, 3))
+    rois_xy = jax.random.uniform(jax.random.key(1), (B, 12, 2)) * (S // 2)
+    rois = jnp.concatenate(
+        [rois_xy, rois_xy + 4 + jax.random.uniform(
+            jax.random.key(2), (B, 12, 2)) * (S // 2)], axis=-1)
+    cloth = jax.nn.one_hot(
+        jax.random.randint(jax.random.key(3), (B, S, S), 0, 19), 19)
+
+    # roi_size=S//2 -> encoded at S//4: factor H/eh = 4
+    ref = TextureModule(img_size=S, roi_size=S // 2, fuse_l0=False)
+    fus = TextureModule(img_size=S, roi_size=S // 2, fuse_l0=True)
+    v = ref.init(jax.random.key(4), tex, rois, cloth, train=False)
+    y_ref = ref.apply(v, tex, rois, cloth, train=False)
+    y_fus = fus.apply(v, tex, rois, cloth, train=False)
+    assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 1e-5
