@@ -112,13 +112,61 @@ def _bwd_pad(res, g):
 _max_pool_2x2_pad.defvjp(_fwd, _bwd_pad)
 
 
+@jax.custom_vjp
+def _max_pool_2x2_gather(x: jax.Array) -> jax.Array:
+    return _forward(x)
+
+
+def _up2(t):
+    """Nearest 2x upsample as broadcast+reshape (layout-friendly; XLA
+    fuses it like models/layers.resize_nearest's broadcasts)."""
+    B, H2, W2, C = t.shape
+    t = jnp.broadcast_to(t[:, :, None, :, None, :], (B, H2, 2, W2, 2, C))
+    return t.reshape(B, 2 * H2, 2 * W2, C)
+
+
+def _bwd_gather(res, g):
+    """Gather form: g_x[i,j] = up2(g)[i,j] routed by first-maximal masks
+    computed at FULL resolution — pure elementwise work over broadcast
+    upsamples, no stack+reshape interleave (the "stack" form's ~0.17 ms
+    of 5-D layout copies) and no materialized interior pads (the "pad"
+    form's -24.5%, pool_bwd_ab.json).  Position (i, j) with window class
+    k receives the gradient iff x[i,j] == m[i//2,j//2] and no earlier
+    class (row-major order) attains the max — identical routing to the
+    stack form, ties included."""
+    x, m = res
+    a, b, c, _ = _slices(x)
+    um, ug = _up2(m), _up2(g)
+    na = _up2(a) != um
+    nb = _up2(b) != um
+    nc = _up2(c) != um
+    _, H, W, _ = x.shape
+    pr = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1, 1), 1) % 2
+    pc = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2) % 2
+    is_a = (pr == 0) & (pc == 0)
+    is_b = (pr == 0) & (pc == 1)
+    is_c = (pr == 1) & (pc == 0)
+    pred_ok = jnp.where(
+        is_a, True,
+        jnp.where(is_b, na,
+                  jnp.where(is_c, na & nb, na & nb & nc)))
+    zero = jnp.zeros((), g.dtype)
+    return (jnp.where((x == um) & pred_ok, ug, zero),)
+
+
+_max_pool_2x2_gather.defvjp(_fwd, _bwd_gather)
+
+
 def max_pool_2x2(x: jax.Array, bwd_impl: str = "stack") -> jax.Array:
     """NHWC 2x2 max pool, stride 2, no padding. H and W must be even.
 
-    ``bwd_impl`` selects the backward formulation (identical values):
-    "stack" (interleave via stack+reshape) or "pad" (interior-padded
-    adds; see _bwd_pad).
+    ``bwd_impl`` selects the backward formulation (identical values and
+    routing): "stack" (interleave via stack+reshape), "pad"
+    (interior-padded adds; -24.5%, see _bwd_pad), or "gather" (full-res
+    elementwise routing; see _bwd_gather).
     """
     if bwd_impl == "pad":
         return _max_pool_2x2_pad(x)
+    if bwd_impl == "gather":
+        return _max_pool_2x2_gather(x)
     return _max_pool_2x2_stack(x)

@@ -73,9 +73,9 @@ def test_bf16_and_jit():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(want))
 
 
-def test_pad_bwd_matches_stack_bwd():
-    """The interior-padded-add backward (bwd_impl='pad') routes gradients
-    identically to the stack+reshape form, ties included."""
+def test_alt_bwds_match_stack_bwd():
+    """The 'pad' and 'gather' backwards route gradients identically to
+    the stack+reshape form, ties included."""
     import jax
     import jax.numpy as jnp
 
@@ -90,8 +90,9 @@ def test_pad_bwd_matches_stack_bwd():
             jnp.cos(max_pool_2x2(t, bwd_impl=impl) * 3.0))
 
     y_s = max_pool_2x2(x, bwd_impl="stack")
-    y_p = max_pool_2x2(x, bwd_impl="pad")
-    assert float(jnp.max(jnp.abs(y_s - y_p))) == 0.0
     g_s = jax.grad(loss("stack"))(x)
-    g_p = jax.grad(loss("pad"))(x)
-    assert float(jnp.max(jnp.abs(g_s - g_p))) == 0.0
+    for impl in ("pad", "gather"):
+        y_i = max_pool_2x2(x, bwd_impl=impl)
+        assert float(jnp.max(jnp.abs(y_s - y_i))) == 0.0, impl
+        g_i = jax.grad(loss(impl))(x)
+        assert float(jnp.max(jnp.abs(g_s - g_i))) == 0.0, impl
