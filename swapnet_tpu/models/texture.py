@@ -88,9 +88,17 @@ class TextureModule(nn.Module):
         # any even upsample factor f splits as up2(up_{f/2}): the 2x half
         # merges into the split L0 conv, so only the (H/2)^2 intermediate
         # is ever materialized (at 512^2 that is 1/4 of the bytes and the
-        # L0 conv runs at 256^2 instead of 512^2)
+        # L0 conv runs at 256^2 instead of 512^2).  Gate (interleaved
+        # measurements; identical math either way, so train/eval may take
+        # different paths): factor 2 needs no extra resize and wins in
+        # BOTH directions (fwd-only 0.591 -> 0.468 ms at 128^2; train
+        # +6.2%, fuse_l0_ab.json); factor > 2 pays a materialized
+        # half-res resize that only the backward savings amortize
+        # (512^2: train +5.8%, fwd-only 1.51 -> 1.70 ms) — so large
+        # factors split only when training.
         eh = encoded.shape[1]
-        if self.fuse_l0 and H % eh == 0 and (H // eh) % 2 == 0:
+        if (self.fuse_l0 and H % eh == 0 and (H // eh) % 2 == 0
+                and (train or H == 2 * eh)):
             lowres = (encoded if eh * 2 == H
                       else resize_nearest(encoded, H // 2, W // 2))
             return gen(cloth.astype(encoded.dtype), train, lowres=lowres)

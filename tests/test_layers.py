@@ -281,26 +281,31 @@ def test_texture_fuse_l0_parity():
     cloth = jax.nn.one_hot(
         jax.random.randint(jax.random.key(3), (B, S, S), 0, 19), 19)
 
-    ref = TextureModule(img_size=S, roi_size=S, fuse_l0=False)
-    fus = TextureModule(img_size=S, roi_size=S, fuse_l0=True)
-    v = ref.init(jax.random.key(4), tex, rois, cloth, train=False)
+    # train=True exercises the split path (the train gate routes eval to
+    # the materialized form); dropout=0 keeps it deterministic
+    ref = TextureModule(img_size=S, roi_size=S, fuse_l0=False, dropout=0, norm_type="instance")
+    fus = TextureModule(img_size=S, roi_size=S, fuse_l0=True, dropout=0, norm_type="instance")
+    v = ref.init(jax.random.key(4), tex, rois, cloth, train=True)
     # same param tree (down_0 kernel covers the 36+19 concat channels)
     assert fus.init(
-        jax.random.key(4), tex, rois, cloth, train=False
+        jax.random.key(4), tex, rois, cloth, train=True
     )["params"].keys() == v["params"].keys()
 
-    y_ref = ref.apply(v, tex, rois, cloth, train=False)
-    y_fus = fus.apply(v, tex, rois, cloth, train=False)
-    assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 1e-5
+    y_ref = ref.apply(v, tex, rois, cloth, train=True)
+    y_fus = fus.apply(v, tex, rois, cloth, train=True)
+    # instance-norm cascades amplify f32 rounding; 5e-5 on tanh outputs
+    assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 5e-5
 
     def loss(mod):
         return lambda p: jnp.sum(jnp.square(
-            mod.apply(p, tex, rois, cloth, train=False)))
+            mod.apply(p, tex, rois, cloth, train=True)))
 
     g_ref = jax.grad(loss(ref))(v)
     g_fus = jax.grad(loss(fus))(v)
+    # f32 reassociation through 7 UNet levels + instance norms; the
+    # formulation itself is exact (see the conv-level tests above)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
-        assert float(jnp.max(jnp.abs(a - b))) < 2e-4
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-3
 
 
 def test_texture_fuse_l0_parity_factor4():
@@ -318,9 +323,9 @@ def test_texture_fuse_l0_parity_factor4():
         jax.random.randint(jax.random.key(3), (B, S, S), 0, 19), 19)
 
     # roi_size=S//2 -> encoded at S//4: factor H/eh = 4
-    ref = TextureModule(img_size=S, roi_size=S // 2, fuse_l0=False)
-    fus = TextureModule(img_size=S, roi_size=S // 2, fuse_l0=True)
-    v = ref.init(jax.random.key(4), tex, rois, cloth, train=False)
-    y_ref = ref.apply(v, tex, rois, cloth, train=False)
-    y_fus = fus.apply(v, tex, rois, cloth, train=False)
-    assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 1e-5
+    ref = TextureModule(img_size=S, roi_size=S // 2, fuse_l0=False, dropout=0, norm_type="instance")
+    fus = TextureModule(img_size=S, roi_size=S // 2, fuse_l0=True, dropout=0, norm_type="instance")
+    v = ref.init(jax.random.key(4), tex, rois, cloth, train=True)
+    y_ref = ref.apply(v, tex, rois, cloth, train=True)
+    y_fus = fus.apply(v, tex, rois, cloth, train=True)
+    assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 5e-5
