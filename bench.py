@@ -68,6 +68,7 @@ def main():
         "git_sha": _git_sha(),
         "backend": jax.default_backend(),
         "vgg_conv_impl": conv_impl,
+        "vgg_block1_s2d": bool(getattr(system.vgg, "block1_s2d", False)),
         "fuse_l0": bool(getattr(system.G, "fuse_l0", False)),
         "compat_image_gram": system.perc_cfg.compat_image_gram,
         "compat_eps_outside": system.perc_cfg.compat_eps_outside,

@@ -59,6 +59,11 @@ class PerceptualLossConfig:
     # materializes the normalized tensors exactly as the reference does
     # (slower: two extra write+read passes per tap).
     compat_eps_outside: bool = False
+    # Tap 0 arrives width-packed [B,H,W/2,2C] (VGG16Features.block1_s2d):
+    # reshape to [...,2,C] so the channel normalization runs over each
+    # true pixel's own C channels — numerically identical to the
+    # unpacked loss (the pixel mean is permutation-invariant).
+    tap1_s2d: bool = False
 
 
 def _gram(x: jax.Array) -> jax.Array:
@@ -123,7 +128,11 @@ def perceptual_loss(
 
     content = jnp.float32(0.0)
     style = jnp.float32(0.0)
-    for o, t in zip(out_f, tgt_f):
+    for i, (o, t) in enumerate(zip(out_f, tgt_f)):
+        if i == 0 and cfg.tap1_s2d:
+            # unpack the phase axis so axis=-1 is one true pixel's channels
+            o = o.reshape(*o.shape[:-1], 2, o.shape[-1] // 2)
+            t = t.reshape(*t.shape[:-1], 2, t.shape[-1] // 2)
         if cfg.normalize and cfg.compat_eps_outside:
             o32, t32 = o.astype(jnp.float32), t.astype(jnp.float32)
             o_hat = o32 / (
@@ -143,6 +152,10 @@ def perceptual_loss(
             if cfg.compat_image_gram:
                 go, gt = _gram(output), _gram(target)
             else:
+                if cfg.tap1_s2d:
+                    raise ValueError(
+                        "feature-gram style loss needs unpacked taps; "
+                        "tap1_s2d supports compat_image_gram only")
                 # Standard Gatys style loss: grams of the raw tap features.
                 go, gt = _gram(o), _gram(t)
             style += jnp.mean(jnp.square(go - jax.lax.stop_gradient(gt)))

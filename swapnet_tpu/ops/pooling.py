@@ -157,6 +157,55 @@ def _bwd_gather(res, g):
 _max_pool_2x2_gather.defvjp(_fwd, _bwd_gather)
 
 
+def _s2d_slices(x):
+    """Window slices of a width-packed map [B, H, W/2, 2C] (phase-major
+    channel packing: channel p*C+c holds true column 2w'+p).  Window
+    order (row, col-phase) = torch's row-major (0,0),(0,1),(1,0),(1,1)."""
+    C = x.shape[-1] // 2
+    a = x[:, ::2, :, :C]
+    b = x[:, ::2, :, C:]
+    c = x[:, 1::2, :, :C]
+    d = x[:, 1::2, :, C:]
+    return a, b, c, d
+
+
+@jax.custom_vjp
+def max_pool_2x2_s2d(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 max pool consuming a width-packed (s2d) map
+    [B, H, W/2, 2C] and emitting the standard [B, H/2, W/2, C] layout —
+    the pool is where the VGG block-1 s2d pipeline re-enters normal
+    space.  First-maximal routing identical to max_pool_2x2 (the column
+    pair of each window lives in the channel phase halves)."""
+    a, b, c, d = _s2d_slices(x)
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+
+
+def _s2d_fwd(x):
+    a, b, c, d = _s2d_slices(x)
+    m = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+    return m, (x, m)
+
+
+def _s2d_bwd(res, g):
+    x, m = res
+    a, b, c, d = _s2d_slices(x)
+    ea = a == m
+    eb = (b == m) & ~ea
+    ec = (c == m) & ~ea & ~eb
+    ed = ~(ea | eb | ec)
+    zero = jnp.zeros((), g.dtype)
+    even = jnp.concatenate(
+        [jnp.where(ea, g, zero), jnp.where(eb, g, zero)], axis=-1)
+    odd = jnp.concatenate(
+        [jnp.where(ec, g, zero), jnp.where(ed, g, zero)], axis=-1)
+    B, H2, W2, C2 = even.shape
+    out = jnp.stack([even, odd], axis=2).reshape(B, 2 * H2, W2, C2)
+    return (out,)
+
+
+max_pool_2x2_s2d.defvjp(_s2d_fwd, _s2d_bwd)
+
+
 def max_pool_2x2(x: jax.Array, bwd_impl: str = "stack") -> jax.Array:
     """NHWC 2x2 max pool, stride 2, no padding. H and W must be even.
 

@@ -97,6 +97,11 @@ class TextureSystem(BaseGANSystem):
         fuse_l0: bool = True,
         # VGG max-pool backward form (ops/pooling.py): "stack" | "pad"
         pool_bwd: str = "stack",
+        # run VGG block 1 width-packed (models/vgg.py:VGG16Features.
+        # block1_s2d): full 128-lane MXU tiles for the 64-channel convs.
+        # Default per the interleaved A/B benchmarks/vgg_s2d_ab.json:
+        # +4.5% (1186 -> 1239 img/s), loss parity to 1e-6.
+        vgg_block1_s2d: bool = True,
     ):
         if netG == "swapnet":
             generator = TextureModule(
@@ -137,7 +142,8 @@ class TextureSystem(BaseGANSystem):
         self.use_perceptual = is_train and (lambda_content != 0 or lambda_style != 0)
         if self.use_perceptual:
             self.vgg = VGG16Features(
-                dtype=dtype, conv_impl=vgg_conv_impl, pool_bwd=pool_bwd)
+                dtype=dtype, conv_impl=vgg_conv_impl, pool_bwd=pool_bwd,
+                block1_s2d=vgg_block1_s2d)
             if vgg_variables is None:
                 vgg_variables = self.vgg.init(
                     jax.random.key(7), jnp.zeros((1, img_size, img_size, 3))
@@ -145,10 +151,15 @@ class TextureSystem(BaseGANSystem):
             # frozen: carried in state.frozen (traced arg), NOT a closure —
             # closure constants blow up remote-compile request sizes
             self._vgg_variables = vgg_variables
+        if vgg_block1_s2d and lambda_style != 0 and not compat_image_gram:
+            raise ValueError(
+                "vgg_block1_s2d supports the image-gram style loss only "
+                "(feature grams need unpacked taps)")
         self.perc_cfg = PerceptualLossConfig(
             use_style=lambda_style != 0,
             compat_image_gram=compat_image_gram,
             compat_eps_outside=compat_eps_outside,
+            tap1_s2d=vgg_block1_s2d,
         )
         # Rematerialize the perceptual block in the backward.  MEASURED
         # NEGATIVE (round 3, benchmarks/remat_perceptual_ab.json): remat

@@ -168,3 +168,48 @@ def test_bounded_onehot_ce_matches_optax():
     np.testing.assert_allclose(
         np.asarray(g_got), np.asarray(g_want), atol=1e-8
     )
+
+
+def test_vgg_block1_s2d_loss_parity():
+    """VGG block 1 width-packed (block1_s2d) + tap1_s2d loss handling is
+    numerically identical to the unpacked pipeline: same param tree, same
+    content loss, same gradients w.r.t. the image."""
+    import jax
+    import jax.numpy as jnp
+
+    from swapnet_tpu.losses.perceptual import (
+        PerceptualLossConfig, perceptual_loss)
+    from swapnet_tpu.models.vgg import VGG16Features
+
+    ref = VGG16Features()
+    s2d = VGG16Features(block1_s2d=True)
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    t = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    v = ref.init(jax.random.key(2), x)
+    assert jax.tree.structure(
+        s2d.init(jax.random.key(2), x)) == jax.tree.structure(v)
+
+    def content(mod, cfg):
+        def f(img):
+            c, _ = perceptual_loss(
+                lambda y: mod.apply(v, y), img, t, cfg)
+            return c
+        return f
+
+    c_ref = content(ref, PerceptualLossConfig())
+    c_s2d = content(s2d, PerceptualLossConfig(tap1_s2d=True))
+    l_ref, g_ref = jax.value_and_grad(c_ref)(x)
+    l_s2d, g_s2d = jax.value_and_grad(c_s2d)(x)
+    assert abs(float(l_ref) - float(l_s2d)) < 1e-6
+    assert float(jnp.max(jnp.abs(g_ref - g_s2d))) < 1e-5
+
+    # pool re-entry parity: taps 1..4 must be identical arrays
+    taps_ref = ref.apply(v, x)
+    taps_s2d = s2d.apply(v, x)
+    for a, b in zip(taps_ref[1:], taps_s2d[1:]):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+    # tap 0: unpack and compare
+    p = taps_s2d[0]
+    B, H, W2, C2 = p.shape
+    unpacked = p.reshape(B, H, W2, 2, C2 // 2).reshape(B, H, 2 * W2, C2 // 2)
+    assert float(jnp.max(jnp.abs(taps_ref[0] - unpacked))) < 1e-5
