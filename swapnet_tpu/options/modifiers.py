@@ -94,6 +94,10 @@ def warp_modifier(parser: ArgumentParser, is_train: bool) -> ArgumentParser:
         parser.add_argument("--lambda_ce", type=float, default=100,
                             help="weight for cross entropy loss in final term")
         parser.set_defaults(display_ncols=4)
+    parser.add_argument("--head_impl", default="s2d", choices=("s2d", "xla"),
+                        help="warp output-head form; 's2d' (one space-to-"
+                             "depth conv, +16%%) is the measured winner "
+                             "(benchmarks/warp_head_s2d_ab.json)")
     return base_gan_modifier(parser, is_train)
 
 
@@ -110,6 +114,16 @@ def texture_modifier(parser: ArgumentParser, is_train: bool) -> ArgumentParser:
         parser.add_argument("--vgg_checkpoint", default=None,
                             help="path to a torchvision vgg16 .pth for the "
                                  "perceptual loss (random-init VGG if absent)")
+        parser.add_argument("--vgg_conv_impl", default="xla",
+                            choices=["xla", "auto", "pallas"],
+                            help="VGG conv dispatch; 'xla' is the measured "
+                                 "winner (benchmarks/vgg_pallas_ab.json)")
+        parser.add_argument("--no_vgg_block1_s2d", action="store_true",
+                            help="disable the width-packed VGG block 1 "
+                                 "(+4.5% default, benchmarks/vgg_s2d_ab.json)")
+        parser.add_argument("--no_fuse_l0", action="store_true",
+                            help="disable the split-form first UNet conv "
+                                 "(+6.2% default, benchmarks/fuse_l0_ab.json)")
         parser.set_defaults(display_ncols=5)
     return parser
 

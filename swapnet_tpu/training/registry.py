@@ -81,6 +81,7 @@ def create_system(opt, vgg_variables=None):
             lambda_discriminator=getattr(opt, "lambda_discriminator", 1.0),
             lambda_gp=getattr(opt, "lambda_gp", 10.0),
             wgan_clamp=not getattr(opt, "compat_no_wgan_clamp", False),
+            head_impl=getattr(opt, "head_impl", "s2d"),
             **common,
         )
     if name == "texture":
@@ -88,6 +89,10 @@ def create_system(opt, vgg_variables=None):
             from swapnet_tpu.models.vgg import load_torch_vgg16_features
 
             vgg_variables = load_torch_vgg16_features(opt.vgg_checkpoint)
+        image_gram = (
+            getattr(opt, "style_gram", "image") == "image"
+            or getattr(opt, "compat_image_gram", False)
+        )
         return TextureSystem(
             texture_channels=opt.texture_channels,
             cloth_channels=opt.cloth_channels,
@@ -107,10 +112,14 @@ def create_system(opt, vgg_variables=None):
             lambda_gp=getattr(opt, "lambda_gp", 10.0),
             wgan_clamp=not getattr(opt, "compat_no_wgan_clamp", False),
             is_train=is_train,
-            compat_image_gram=(
-                getattr(opt, "style_gram", "image") == "image"
-                or getattr(opt, "compat_image_gram", False)
+            compat_image_gram=image_gram,
+            vgg_conv_impl=getattr(opt, "vgg_conv_impl", "xla"),
+            # feature grams need unpacked taps: --style_gram features
+            # auto-disables the packed block 1
+            vgg_block1_s2d=(
+                not getattr(opt, "no_vgg_block1_s2d", False) and image_gram
             ),
+            fuse_l0=not getattr(opt, "no_fuse_l0", False),
             **common,
         )
     if name == "pix2pix":
