@@ -28,12 +28,17 @@ class NLayerDiscriminator(nn.Module):
     init_gain: float = 0.02
     dtype: Any = jnp.float32
     quantize: bool = False  # int8 convs + STE grads (--quantize_D)
+    # "s2d_in": width-pack the inputs of the stride-2 convs whose input
+    # channels half-fill the MXU tile (layers.Conv impl="s2d_in";
+    # identical math and param tree)
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         use_bias = self.norm_type == "instance"
         kw = dict(init_type=self.init_type, init_gain=self.init_gain,
-                  dtype=self.dtype, quantize=self.quantize)
+                  dtype=self.dtype, quantize=self.quantize,
+                  impl=self.conv_impl)
         x = x.astype(self.dtype)
 
         x = Conv(self.ndf, 4, 2, 1, use_bias=True, **kw)(x)
@@ -116,18 +121,22 @@ def define_D(
     init_gain: float = 0.02,
     dtype: Any = jnp.float32,
     quantize: bool = False,
+    conv_impl: str = "auto",
 ) -> nn.Module:
     """String factory matching reference define_D (discriminators.py:45-88).
     ``quantize`` routes the convs through the int8 MXU path with
-    straight-through grads (TPU-native --quantize_D, ops/quant.py)."""
+    straight-through grads (TPU-native --quantize_D, ops/quant.py);
+    ``conv_impl="s2d_in"`` width-packs the lane-sparse stride-2 conv
+    inputs (NLayerDiscriminator.conv_impl)."""
     common = dict(
         ndf=ndf, norm_type=norm, init_type=init_type, init_gain=init_gain,
         dtype=dtype, quantize=quantize,
     )
     if netD == "basic":
-        return NLayerDiscriminator(n_layers=3, **common)
+        return NLayerDiscriminator(n_layers=3, conv_impl=conv_impl, **common)
     if netD == "n_layers":
-        return NLayerDiscriminator(n_layers=n_layers_D, **common)
+        return NLayerDiscriminator(
+            n_layers=n_layers_D, conv_impl=conv_impl, **common)
     if netD == "pixel":
         return PixelDiscriminator(**common)
     raise NotImplementedError(f"Discriminator model name [{netD}] is not recognized")

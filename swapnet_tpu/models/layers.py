@@ -98,6 +98,10 @@ class Conv(nn.Module):
     init_gain: float = 0.02
     dtype: Dtype = jnp.float32
     quantize: bool = False  # int8 MXU path + straight-through grads
+    # "s2d_in": width-pack the input for k4/s2/p1 convs whose input
+    # channels half-fill the 128-lane tile (conv4s2p1_in_kernel); falls
+    # back to the normal path when the shape doesn't qualify
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -108,6 +112,23 @@ class Conv(nn.Module):
             (k, k, x.shape[-1], self.features),
             jnp.float32,
         )
+        if (self.impl == "s2d_in" and not self.quantize
+                and (k, self.stride, self.padding) == (4, 2, 1)
+                and x.shape[2] % 2 == 0 and x.shape[-1] * 2 <= 128):
+            B, H, W, C = x.shape
+            xp = x.reshape(B, H, W // 2, 2 * C).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                xp, conv4s2p1_in_kernel(kernel).astype(self.dtype),
+                window_strides=(2, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32)
+                y = y + bias.astype(self.dtype)
+            return y
         if self.quantize:
             from swapnet_tpu.ops.quant import conv2d_int8_ste
 
@@ -399,6 +420,25 @@ class ResidualBlock(nn.Module):
         y = Conv(ch, **conv_kwargs)(y)
         y = instance_norm(y)
         return x + y
+
+
+def conv4s2p1_in_kernel(w: jax.Array) -> jax.Array:
+    """Embed a k4/s2/p1 HWIO kernel [4,4,C,O] for a width-packed input
+    [B,H,W/2,2C] (phase-major): output col j reads true cols 2j-1..2j+2 =
+    packed (j-1,p1),(j,p0),(j,p1),(j+1,p0), so K[dh,0,C:]=w[:,0],
+    K[dh,1,:C]=w[:,1], K[dh,1,C:]=w[:,2], K[dh,2,:C]=w[:,3] — a [4,3,2C,O]
+    kernel run at strides (2,1) with pad 1 (exact: the extra true column
+    each packed pad covers is never referenced).  1.5x the MACs for 2C
+    input-lane occupancy; the output is standard layout directly (stride
+    2 consumes the phase axis).  Linear in w."""
+    kh, kw_, C, O = w.shape
+    assert (kh, kw_) == (4, 4), w.shape
+    K = jnp.zeros((4, 3, 2 * C, O), w.dtype)
+    K = K.at[:, 0, C:].set(w[:, 0])
+    K = K.at[:, 1, :C].set(w[:, 1])
+    K = K.at[:, 1, C:].set(w[:, 2])
+    K = K.at[:, 2, :C].set(w[:, 3])
+    return K
 
 
 def convt_s2d_kernel(w: jax.Array) -> jax.Array:

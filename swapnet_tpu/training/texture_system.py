@@ -97,6 +97,9 @@ class TextureSystem(BaseGANSystem):
         fuse_l0: bool = True,
         # VGG max-pool backward form (ops/pooling.py): "stack" | "pad"
         pool_bwd: str = "stack",
+        # D conv dispatch: "s2d_in" width-packs the lane-sparse stride-2
+        # conv inputs (models/layers.Conv)
+        d_conv_impl: str = "auto",
         # run VGG block 1 width-packed (models/vgg.py:VGG16Features.
         # block1_s2d): full 128-lane MXU tiles for the 64-channel convs.
         # Default per the interleaved A/B benchmarks/vgg_s2d_ab.json:
@@ -129,7 +132,7 @@ class TextureSystem(BaseGANSystem):
         if is_train:
             D = define_D(
                 discriminator, 64, n_layers_D, norm, init_type, init_gain,
-                dtype, quantize=quantize_D,
+                dtype, quantize=quantize_D, conv_impl=d_conv_impl,
             )
         super().__init__(
             generator, D, gan_cfg, g_opt, d_opt,

@@ -329,3 +329,29 @@ def test_texture_fuse_l0_parity_factor4():
     y_ref = ref.apply(v, tex, rois, cloth, train=True)
     y_fus = fus.apply(v, tex, rois, cloth, train=True)
     assert float(jnp.max(jnp.abs(y_ref - y_fus))) < 5e-5
+
+
+def test_conv_s2d_in_matches_normal():
+    """Conv(impl='s2d_in') — width-packed input for k4/s2/p1 — matches
+    the normal path on values AND gradients with the same param tree."""
+    from swapnet_tpu.models.layers import Conv
+
+    for C in (22, 64):
+        x = jax.random.normal(jax.random.key(C), (2, 16, 16, C))
+        ref = Conv(64, 4, 2, 1, use_bias=True)
+        s2d = Conv(64, 4, 2, 1, use_bias=True, impl="s2d_in")
+        v = ref.init(jax.random.key(1), x)
+        assert v["params"]["kernel"].shape == (4, 4, C, 64)
+
+        y_ref = ref.apply(v, x)
+        y_s2d = s2d.apply(v, x)
+        assert y_ref.shape == y_s2d.shape == (2, 8, 8, 64)
+        assert float(jnp.max(jnp.abs(y_ref - y_s2d))) < 1e-4
+
+        def loss(mod):
+            return lambda p, x_: jnp.sum(jnp.square(mod.apply(p, x_)))
+
+        g_ref = jax.grad(loss(ref), argnums=(0, 1))(v, x)
+        g_s2d = jax.grad(loss(s2d), argnums=(0, 1))(v, x)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s2d)):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-3
